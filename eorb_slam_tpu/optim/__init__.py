@@ -1,0 +1,1 @@
+from eorb_slam_tpu.optim import robust, reprojection, pose_only, schur_ba  # noqa: F401

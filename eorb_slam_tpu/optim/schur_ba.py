@@ -1,0 +1,255 @@
+"""Masked Levenberg-Marquardt bundle adjustment with Schur landmark elimination.
+
+This single engine replaces the reference's g2o recipe zoo — Optimizer::
+{BundleAdjustment, GlobalBundleAdjustemnt, LocalBundleAdjustment} and the
+visual parts of MyOptimizer/EvOptimizer (reference src/Optimizer.cc:53,
+:2353; src/Utils/MyOptimizer.cpp; src/Event/EvOptimizer.cpp). Pose-only,
+local-window, and global BA are all *configurations* (which poses are
+masked fixed) of the same jitted function.
+
+TPU-first data layout
+---------------------
+Observations are **landmark-major**: a fixed-shape table ``(M, P)`` where
+``M`` = landmark capacity and ``P`` = max observations per landmark. This
+makes the Schur products dense einsums:
+
+  V_m     = sum_p  Jl^T W Jl                      (M,3,3)
+  U_k     = scatter-add_p Jp^T W Jp               (K,6,6)
+  W_mp    = Jp^T W Jl                             (M,P,6,3)
+  Y_mp    = W_mp V_m^-1                           (M,P,6,3)
+  S      -= Y_mp W_mq^T  scattered at (k_p,k_q)   (K,K,6,6)
+
+The reduced camera system S is solved **dense** — for the local-BA window
+sizes of ORB-SLAM-class problems (K <= a few hundred) a dense 6Kx6K solve
+maps straight onto the MXU and beats sparse scalar code by orders of
+magnitude. Landmark back-substitution is a closed-form batched 3x3 solve.
+
+Fixed-shape everything: validity masks instead of dynamic graphs. Invalid
+slots carry zero weight and point at index 0.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from eorb_slam_tpu.geometry import lie
+from eorb_slam_tpu.optim import reprojection, robust
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity BA problem. All arrays are device arrays.
+
+    K = pose slots, M = landmark slots, P = obs slots per landmark.
+    """
+
+    cam_params: jnp.ndarray   # (9,) shared pinhole intrinsics (linear part)
+    kf_T: jnp.ndarray         # (K,4,4) Tcw
+    kf_fixed: jnp.ndarray     # (K,) bool — pose held constant
+    kf_valid: jnp.ndarray     # (K,) bool — slot in use
+    lm_pos: jnp.ndarray       # (M,3) world points
+    lm_valid: jnp.ndarray     # (M,) bool
+    obs_kf: jnp.ndarray       # (M,P) int32 pose index per observation
+    obs_uv: jnp.ndarray       # (M,P,2) undistorted pixel observations
+    obs_inv_sigma: jnp.ndarray  # (M,P) sqrt information (1/sigma_octave)
+    obs_valid: jnp.ndarray    # (M,P) bool
+
+
+class BAResult(NamedTuple):
+    kf_T: jnp.ndarray
+    lm_pos: jnp.ndarray
+    obs_inlier: jnp.ndarray   # (M,P) bool — chi2 gate after optimization
+    cost0: jnp.ndarray        # robust cost before
+    cost: jnp.ndarray         # robust cost after
+
+
+def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 3x3 inverse (adjugate), safe for masked blocks."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    det_safe = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], axis=-1),
+            jnp.stack([A21, A22, A23], axis=-1),
+            jnp.stack([A31, A32, A33], axis=-1),
+        ],
+        axis=-2,
+    )
+    inv = adj / det_safe[..., None, None]
+    return jnp.where((jnp.abs(det) < 1e-12)[..., None, None], 0.0, inv)
+
+
+def _residuals_and_weights(p: BAProblem, kf_T, lm_pos, use_huber):
+    """Per-observation residual, robust weight, chi2. Shapes (M,P,...)."""
+    T_obs = kf_T[p.obs_kf]                      # (M,P,4,4)
+    pts = jnp.broadcast_to(lm_pos[:, None, :], p.obs_uv.shape[:2] + (3,))
+    pc = lie.se3_apply(T_obs, pts)              # (M,P,3)
+    from eorb_slam_tpu.geometry import camera as cam
+
+    uv_hat = cam.pinhole_project_linear(p.cam_params, pc)
+    r = (p.obs_uv - uv_hat) * p.obs_inv_sigma[..., None]
+    chi2 = jnp.sum(r * r, axis=-1)
+    valid = (
+        p.obs_valid
+        & p.lm_valid[:, None]
+        & p.kf_valid[p.obs_kf]
+        & (pc[..., 2] > 0.0)
+    )
+    w_rob = jnp.where(use_huber, robust.huber_weight(chi2, robust.CHI2_MONO), 1.0)
+    w = w_rob * valid.astype(r.dtype)
+    return r, w, chi2, valid, pc
+
+
+def _robust_cost(chi2, valid, use_huber):
+    c = jnp.where(use_huber, robust.huber_cost(chi2, robust.CHI2_MONO), chi2)
+    return jnp.sum(c * valid)
+
+
+def _build_and_solve(p: BAProblem, kf_T, lm_pos, lam, use_huber):
+    """One damped GN step: returns (dx_cam (K,6), dx_lm (M,3))."""
+    K = kf_T.shape[0]
+    M, P = p.obs_uv.shape[:2]
+    dtype = kf_T.dtype
+
+    T_obs = kf_T[p.obs_kf]
+    pts = jnp.broadcast_to(lm_pos[:, None, :], (M, P, 3))
+    pc = lie.se3_apply(T_obs, pts)
+    from eorb_slam_tpu.geometry import camera as cam
+
+    uv_hat = cam.pinhole_project_linear(p.cam_params, pc)
+    r = (p.obs_uv - uv_hat) * p.obs_inv_sigma[..., None]
+    chi2 = jnp.sum(r * r, axis=-1)
+    valid = (
+        p.obs_valid & p.lm_valid[:, None] & p.kf_valid[p.obs_kf] & (pc[..., 2] > 0)
+    )
+    w_rob = jnp.where(use_huber, robust.huber_weight(chi2, robust.CHI2_MONO), 1.0)
+    w = w_rob * valid.astype(dtype)  # (M,P)
+
+    # Jacobians (of the residual): J_pose (M,P,2,6), J_point (M,P,2,3)
+    Jproj = cam.pinhole_project_jac_point(p.cam_params, pc)  # (M,P,2,3)
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (M, P, 3, 3))
+    dpc_dx = jnp.concatenate([I3, -lie.hat(pc)], axis=-1)    # (M,P,3,6)
+    Jp = -(Jproj @ dpc_dx) * p.obs_inv_sigma[..., None, None]
+    R_obs = lie.se3_rot(T_obs)
+    Jl = -(Jproj @ R_obs) * p.obs_inv_sigma[..., None, None]
+
+    # zero pose Jacobian for fixed cameras: they contribute only to V, b_l
+    cam_free = (~p.kf_fixed)[p.obs_kf].astype(dtype)[..., None, None]  # (M,P,1,1)
+    Jp = Jp * cam_free
+
+    wJp = Jp * w[..., None, None]
+    wJl = Jl * w[..., None, None]
+
+    # landmark blocks
+    V = jnp.einsum("mpij,mpik->mjk", wJl, Jl)                 # (M,3,3)
+    b_l = -jnp.einsum("mpij,mpi->mj", wJl, r)                 # (M,3)
+    V_d = V + lam * jnp.eye(3, dtype=dtype)[None] * jnp.maximum(
+        jnp.trace(V, axis1=-2, axis2=-1)[..., None, None] / 3.0, 1e-6
+    )
+    lm_free = p.lm_valid.astype(dtype)
+    Vinv = _inv3x3(V_d) * lm_free[:, None, None]
+
+    # camera blocks (scatter over flattened observations)
+    U_obs = jnp.einsum("mpij,mpik->mpjk", wJp, Jp)            # (M,P,6,6)
+    b_c_obs = -jnp.einsum("mpij,mpi->mpj", wJp, r)            # (M,P,6)
+    flat_kf = p.obs_kf.reshape(-1)
+    U = jnp.zeros((K, 6, 6), dtype).at[flat_kf].add(U_obs.reshape(-1, 6, 6))
+    b_c = jnp.zeros((K, 6), dtype).at[flat_kf].add(b_c_obs.reshape(-1, 6))
+
+    # cross blocks + Schur pieces
+    W_blk = jnp.einsum("mpij,mpik->mpjk", wJp, Jl)            # (M,P,6,3)
+    Y = W_blk @ Vinv[:, None]                                 # (M,P,6,3)
+
+    # S = U_damped - sum Y W^T at (k_p, k_q)
+    C = jnp.einsum("mpij,mqkj->mpqik", Y, W_blk)              # (M,P,P,6,6)
+    kp = jnp.broadcast_to(p.obs_kf[:, :, None], (M, P, P)).reshape(-1)
+    kq = jnp.broadcast_to(p.obs_kf[:, None, :], (M, P, P)).reshape(-1)
+    S = jnp.zeros((K, K, 6, 6), dtype)
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(U)
+    S = S.at[kp, kq].add(-C.reshape(-1, 6, 6))
+
+    # reduced rhs: b_s = b_c - sum_p Y_mp b_l_m
+    rhs_obs = jnp.einsum("mpij,mj->mpi", Y, b_l)              # (M,P,6)
+    b_s = b_c - jnp.zeros((K, 6), dtype).at[flat_kf].add(rhs_obs.reshape(-1, 6))
+
+    # damping on camera diagonal
+    diag_scale = jnp.maximum(
+        jnp.trace(U, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-6
+    )
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(
+        lam * jnp.eye(6, dtype=dtype)[None] * diag_scale
+    )
+
+    # mask fixed/invalid cameras: identity row/col, zero rhs
+    free = (p.kf_valid & ~p.kf_fixed).astype(dtype)           # (K,)
+    mask2 = free[:, None] * free[None, :]
+    S = S * mask2[:, :, None, None]
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(
+        jnp.eye(6, dtype=dtype)[None] * (1.0 - free)[:, None, None]
+    )
+    b_s = b_s * free[:, None]
+
+    S_dense = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+    # solve via Cholesky (S is SPD after damping+masking)
+    dx_c = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(S_dense, lower=True), b_s.reshape(-1)
+    ).reshape(K, 6)
+    dx_c = dx_c * free[:, None]
+
+    # back-substitute landmarks: dx_l = Vinv (b_l - sum_p W^T dx_c[k_p])
+    dxc_obs = dx_c[p.obs_kf]                                  # (M,P,6)
+    corr = jnp.einsum("mpij,mpi->mj", W_blk, dxc_obs)         # (M,3)
+    dx_l = jnp.einsum("mij,mj->mi", Vinv, b_l - corr) * lm_free[:, None]
+    return dx_c, dx_l
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def bundle_adjust(p: BAProblem, iters: int = 10, lam0: float = 1e-4) -> BAResult:
+    """Levenberg-Marquardt BA. Accept/reject per iteration with lambda control.
+
+    g2o's OptimizationAlgorithmLevenberg equivalence: lambda shrinks by 2 on
+    success, grows by 10 on failure (bounded), state reverts on failure."""
+    dtype = p.kf_T.dtype
+    use_huber = jnp.asarray(True)
+
+    r, w, chi2, valid, _ = _residuals_and_weights(p, p.kf_T, p.lm_pos, use_huber)
+    cost0 = _robust_cost(chi2, valid, use_huber)
+
+    def body(_, state):
+        kf_T, lm_pos, lam, cost = state
+        dx_c, dx_l = _build_and_solve(p, kf_T, lm_pos, lam, use_huber)
+        kf_T_new = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(dx_c, kf_T)
+        lm_new = lm_pos + dx_l
+        _, _, chi2_n, valid_n, _ = _residuals_and_weights(
+            p, kf_T_new, lm_new, use_huber
+        )
+        cost_new = _robust_cost(chi2_n, valid_n, use_huber)
+        accept = cost_new < cost
+        kf_T = jnp.where(accept, kf_T_new, kf_T)
+        lm_pos = jnp.where(accept, lm_new, lm_pos)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 10.0, 1e4))
+        cost = jnp.where(accept, cost_new, cost)
+        return kf_T, lm_pos, lam, cost
+
+    kf_T, lm_pos, lam, cost = jax.lax.fori_loop(
+        0, iters, body, (p.kf_T, p.lm_pos, jnp.asarray(lam0, dtype), cost0)
+    )
+
+    _, _, chi2_f, valid_f, pc = _residuals_and_weights(p, kf_T, lm_pos, use_huber)
+    inlier = valid_f & (chi2_f <= robust.CHI2_MONO)
+    return BAResult(kf_T, lm_pos, inlier, cost0, cost)

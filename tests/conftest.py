@@ -1,0 +1,23 @@
+"""Test configuration: force CPU with 8 virtual devices so sharding tests
+run without TPU hardware (multi-chip paths validated on a virtual mesh).
+
+The session environment boots an `axon` remote-TPU PJRT plugin via
+sitecustomize and pins jax_platforms="axon,cpu" through jax.config (the env
+var alone is NOT enough to undo that) with remote compilation — which makes
+unit tests orders of magnitude slower. Re-pin to CPU here, before any test
+imports trigger backend initialization.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

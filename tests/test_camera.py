@@ -1,0 +1,88 @@
+"""Camera model tests: project/unproject round trips, Jacobians vs autodiff,
+distortion vs OpenCV oracle."""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eorb_slam_tpu.geometry import camera
+
+RNG = np.random.default_rng(1)
+
+PIN = camera.make_pinhole(458.654, 457.296, 367.215, 248.375,
+                          k1=-0.28340811, k2=0.07395907, p1=0.00019359, p2=1.76187114e-05)
+KB8 = camera.make_kb8(190.978, 190.973, 254.932, 256.897,
+                      k1=0.00348238, k2=0.000715035, k3=-0.0020532361, k4=0.000202937)
+
+
+def rand_points(n, z_range=(0.5, 10.0)):
+    xy = RNG.normal(size=(n, 2)) * 0.4
+    z = RNG.uniform(*z_range, size=(n, 1))
+    return jnp.asarray(np.concatenate([xy * z, z], axis=1), dtype=jnp.float32)
+
+
+def test_pinhole_project_unproject_roundtrip():
+    pts = rand_points(256)
+    uv = camera.pinhole_project(PIN, pts)
+    rays = camera.pinhole_unproject(PIN, uv)
+    # rays should be parallel to pts
+    dirs = pts / pts[:, 2:3]
+    np.testing.assert_allclose(rays, dirs, atol=1e-3)
+
+
+def test_pinhole_project_matches_opencv():
+    pts = np.asarray(rand_points(128), dtype=np.float64)
+    K = np.array([[458.654, 0, 367.215], [0, 457.296, 248.375], [0, 0, 1]])
+    dist = np.array([-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05, 0.0])
+    uv_cv, _ = cv2.projectPoints(pts, np.zeros(3), np.zeros(3), K, dist)
+    uv = camera.pinhole_project(PIN, jnp.asarray(pts, dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(uv), uv_cv[:, 0, :], atol=0.05)
+
+
+def test_undistort_matches_opencv():
+    uv_d = np.stack(
+        [RNG.uniform(20, 730, size=64), RNG.uniform(20, 460, size=64)], axis=1
+    )
+    K = np.array([[458.654, 0, 367.215], [0, 457.296, 248.375], [0, 0, 1]])
+    dist = np.array([-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05, 0.0])
+    crit = (cv2.TERM_CRITERIA_COUNT | cv2.TERM_CRITERIA_EPS, 200, 1e-12)
+    und_cv = cv2.undistortPoints(uv_d[:, None, :], K, dist, R=None, P=K, criteria=crit)[:, 0, :]
+    und = camera.undistort_points(PIN, jnp.asarray(uv_d, dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(und), und_cv, atol=0.01)
+    # true-inversion round trip: project(unproject(uv)) == uv
+    rays = camera.pinhole_unproject(PIN, jnp.asarray(uv_d, dtype=jnp.float32))
+    uv_back = camera.pinhole_project(PIN, rays)
+    np.testing.assert_allclose(np.asarray(uv_back), uv_d, atol=0.01)
+
+
+def test_pinhole_jacobian_vs_autodiff():
+    pts = rand_points(32)
+    J = camera.pinhole_project_jac_point(PIN, pts)
+    J_ad = jax.vmap(jax.jacfwd(lambda p: camera.pinhole_project_linear(PIN, p)))(pts)
+    np.testing.assert_allclose(J, J_ad, atol=1e-4)
+
+
+def test_kb8_project_unproject_roundtrip():
+    pts = rand_points(256)
+    uv = camera.kb8_project(KB8, pts)
+    rays = camera.kb8_unproject(KB8, uv)
+    dirs = pts / pts[:, 2:3]
+    np.testing.assert_allclose(np.asarray(rays), np.asarray(dirs), atol=1e-3)
+
+
+def test_kb8_matches_opencv_fisheye():
+    pts = np.asarray(rand_points(64), dtype=np.float64).reshape(-1, 1, 3)
+    K = np.array([[190.978, 0, 254.932], [0, 190.973, 256.897], [0, 0, 1]])
+    D = np.array([0.00348238, 0.000715035, -0.0020532361, 0.000202937])
+    uv_cv, _ = cv2.fisheye.projectPoints(pts, np.zeros(3), np.zeros(3), K, D)
+    uv = camera.kb8_project(KB8, jnp.asarray(pts[:, 0, :], dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(uv), uv_cv[:, 0, :], atol=0.05)
+
+
+def test_project_jit_batch():
+    f = jax.jit(lambda p: camera.pinhole_project(PIN, p))
+    pts = rand_points(1024)
+    out = f(pts)
+    assert out.shape == (1024, 2)
+    assert np.all(np.isfinite(np.asarray(out)))
