@@ -120,8 +120,14 @@ def _robust_cost(chi2, valid, use_huber):
     return jnp.sum(c * valid)
 
 
-def _build_and_solve(p: BAProblem, kf_T, lm_pos, lam, use_huber):
-    """One damped GN step: returns (dx_cam (K,6), dx_lm (M,3))."""
+def _schur_pieces(p: BAProblem, kf_T, lm_pos, lam, use_huber):
+    """Local (per-landmark-shard) Schur pieces.
+
+    Returns (S, b_s, W_blk, Vinv, b_l) where S (K,K,6,6) carries U on the
+    diagonal and -Y W^T off it, b_s (K,6) is the reduced RHS. Under landmark
+    sharding these are partial sums — psum them over the shard axis before
+    `_solve_cameras`; the landmark-side pieces (W_blk, Vinv, b_l) stay local.
+    """
     K = kf_T.shape[0]
     M, P = p.obs_uv.shape[:2]
     dtype = kf_T.dtype
@@ -164,32 +170,43 @@ def _build_and_solve(p: BAProblem, kf_T, lm_pos, lam, use_huber):
     lm_free = p.lm_valid.astype(dtype)
     Vinv = _inv3x3(V_d) * lm_free[:, None, None]
 
-    # camera blocks (scatter over flattened observations)
+    # camera blocks — one-hot contractions instead of scatter-add: TPU
+    # scatters serialize, while these einsums map onto the MXU.
+    O = jax.nn.one_hot(p.obs_kf, K, dtype=dtype)              # (M,P,K)
     U_obs = jnp.einsum("mpij,mpik->mpjk", wJp, Jp)            # (M,P,6,6)
     b_c_obs = -jnp.einsum("mpij,mpi->mpj", wJp, r)            # (M,P,6)
-    flat_kf = p.obs_kf.reshape(-1)
-    U = jnp.zeros((K, 6, 6), dtype).at[flat_kf].add(U_obs.reshape(-1, 6, 6))
-    b_c = jnp.zeros((K, 6), dtype).at[flat_kf].add(b_c_obs.reshape(-1, 6))
+    U = jnp.einsum("mpk,mpij->kij", O, U_obs)                 # (K,6,6)
+    b_c = jnp.einsum("mpk,mpi->ki", O, b_c_obs)               # (K,6)
 
     # cross blocks + Schur pieces
     W_blk = jnp.einsum("mpij,mpik->mpjk", wJp, Jl)            # (M,P,6,3)
     Y = W_blk @ Vinv[:, None]                                 # (M,P,6,3)
 
-    # S = U_damped - sum Y W^T at (k_p, k_q)
-    C = jnp.einsum("mpij,mqkj->mpqik", Y, W_blk)              # (M,P,P,6,6)
-    kp = jnp.broadcast_to(p.obs_kf[:, :, None], (M, P, P)).reshape(-1)
-    kq = jnp.broadcast_to(p.obs_kf[:, None, :], (M, P, P)).reshape(-1)
-    S = jnp.zeros((K, K, 6, 6), dtype)
+    # S_off[a,b] = sum_m sum_pq O[m,p,a] Y_mp W_mq^T O[m,q,b]
+    #            = sum_m G[m,a] H[m,b]^T  — never materializes (M,P,P,...)
+    G = jnp.einsum("mpa,mpij->maij", O, Y)                    # (M,K,6,3)
+    Hm = jnp.einsum("mpa,mpij->maij", O, W_blk)               # (M,K,6,3)
+    S_off = jnp.einsum("maij,mbkj->abik", G, Hm)              # (K,K,6,6)
+
+    S = -S_off
     S = S.at[jnp.arange(K), jnp.arange(K)].add(U)
-    S = S.at[kp, kq].add(-C.reshape(-1, 6, 6))
 
-    # reduced rhs: b_s = b_c - sum_p Y_mp b_l_m
-    rhs_obs = jnp.einsum("mpij,mj->mpi", Y, b_l)              # (M,P,6)
-    b_s = b_c - jnp.zeros((K, 6), dtype).at[flat_kf].add(rhs_obs.reshape(-1, 6))
+    # reduced rhs: b_s = b_c - sum_m G[m,k] b_l_m
+    b_s = b_c - jnp.einsum("maij,mj->ai", G, b_l)
+    return S, b_s, W_blk, Vinv, b_l
 
-    # damping on camera diagonal
+
+def _solve_cameras(p: BAProblem, S, b_s, lam):
+    """Damp + gauge-mask the (already psum'd) reduced system, dense solve."""
+    K = S.shape[0]
+    dtype = S.dtype
+    # damping on camera diagonal (from the assembled Schur diagonal)
     diag_scale = jnp.maximum(
-        jnp.trace(U, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-6
+        jnp.trace(S[jnp.arange(K), jnp.arange(K)], axis1=-2, axis2=-1)[
+            :, None, None
+        ]
+        / 6.0,
+        1e-6,
     )
     S = S.at[jnp.arange(K), jnp.arange(K)].add(
         lam * jnp.eye(6, dtype=dtype)[None] * diag_scale
@@ -209,36 +226,60 @@ def _build_and_solve(p: BAProblem, kf_T, lm_pos, lam, use_huber):
     dx_c = jax.scipy.linalg.cho_solve(
         jax.scipy.linalg.cho_factor(S_dense, lower=True), b_s.reshape(-1)
     ).reshape(K, 6)
-    dx_c = dx_c * free[:, None]
+    return dx_c * free[:, None]
 
-    # back-substitute landmarks: dx_l = Vinv (b_l - sum_p W^T dx_c[k_p])
+
+def _backsub_landmarks(p: BAProblem, W_blk, Vinv, b_l, dx_c):
+    """Landmark update (local to the shard): dx_l = Vinv (b_l - W^T dx_c)."""
     dxc_obs = dx_c[p.obs_kf]                                  # (M,P,6)
     corr = jnp.einsum("mpij,mpi->mj", W_blk, dxc_obs)         # (M,3)
-    dx_l = jnp.einsum("mij,mj->mi", Vinv, b_l - corr) * lm_free[:, None]
+    lm_free = p.lm_valid.astype(dx_c.dtype)
+    return jnp.einsum("mij,mj->mi", Vinv, b_l - corr) * lm_free[:, None]
+
+
+def _build_and_solve(p: BAProblem, kf_T, lm_pos, lam, use_huber, axis_name=None):
+    """One damped GN step: returns (dx_cam (K,6), dx_lm (M,3)).
+
+    With ``axis_name`` set (inside shard_map over a landmark shard), the
+    reduced camera system is psum'd over the mesh axis so every device
+    solves the identical global system; back-substitution stays local."""
+    S, b_s, W_blk, Vinv, b_l = _schur_pieces(p, kf_T, lm_pos, lam, use_huber)
+    if axis_name is not None:
+        S = jax.lax.psum(S, axis_name)
+        b_s = jax.lax.psum(b_s, axis_name)
+    dx_c = _solve_cameras(p, S, b_s, lam)
+    dx_l = _backsub_landmarks(p, W_blk, Vinv, b_l, dx_c)
     return dx_c, dx_l
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def bundle_adjust(p: BAProblem, iters: int = 10, lam0: float = 1e-4) -> BAResult:
-    """Levenberg-Marquardt BA. Accept/reject per iteration with lambda control.
+def _lm_loop(p: BAProblem, iters: int, lam0: float, axis_name=None) -> BAResult:
+    """Levenberg-Marquardt loop. Accept/reject per iteration with lambda control.
 
     g2o's OptimizationAlgorithmLevenberg equivalence: lambda shrinks by 2 on
-    success, grows by 10 on failure (bounded), state reverts on failure."""
+    success, grows by 10 on failure (bounded), state reverts on failure.
+    With ``axis_name``, runs inside shard_map over a landmark shard: the cost
+    and the reduced camera system are psum'd, so the accept/reject decision
+    and the pose update are bit-identical across devices."""
     dtype = p.kf_T.dtype
     use_huber = jnp.asarray(True)
 
-    r, w, chi2, valid, _ = _residuals_and_weights(p, p.kf_T, p.lm_pos, use_huber)
-    cost0 = _robust_cost(chi2, valid, use_huber)
+    def total_cost(kf_T, lm_pos):
+        _, _, chi2, valid, _ = _residuals_and_weights(p, kf_T, lm_pos, use_huber)
+        c = _robust_cost(chi2, valid, use_huber)
+        if axis_name is not None:
+            c = jax.lax.psum(c, axis_name)
+        return c
+
+    cost0 = total_cost(p.kf_T, p.lm_pos)
 
     def body(_, state):
         kf_T, lm_pos, lam, cost = state
-        dx_c, dx_l = _build_and_solve(p, kf_T, lm_pos, lam, use_huber)
+        dx_c, dx_l = _build_and_solve(
+            p, kf_T, lm_pos, lam, use_huber, axis_name=axis_name
+        )
         kf_T_new = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(dx_c, kf_T)
         lm_new = lm_pos + dx_l
-        _, _, chi2_n, valid_n, _ = _residuals_and_weights(
-            p, kf_T_new, lm_new, use_huber
-        )
-        cost_new = _robust_cost(chi2_n, valid_n, use_huber)
+        cost_new = total_cost(kf_T_new, lm_new)
         accept = cost_new < cost
         kf_T = jnp.where(accept, kf_T_new, kf_T)
         lm_pos = jnp.where(accept, lm_new, lm_pos)
@@ -253,3 +294,9 @@ def bundle_adjust(p: BAProblem, iters: int = 10, lam0: float = 1e-4) -> BAResult
     _, _, chi2_f, valid_f, pc = _residuals_and_weights(p, kf_T, lm_pos, use_huber)
     inlier = valid_f & (chi2_f <= robust.CHI2_MONO)
     return BAResult(kf_T, lm_pos, inlier, cost0, cost)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def bundle_adjust(p: BAProblem, iters: int = 10, lam0: float = 1e-4) -> BAResult:
+    """Single-device Levenberg-Marquardt BA (see `_lm_loop`)."""
+    return _lm_loop(p, iters, lam0)
