@@ -371,6 +371,21 @@ def sim3_exp(xi: jnp.ndarray):
     return R, t, s
 
 
+def project_so3(R: jnp.ndarray) -> jnp.ndarray:
+    """Re-project a near-rotation onto SO(3) (via quaternion round-trip).
+
+    Iterative pose pipelines amplify float32 orthonormality drift
+    GEOMETRICALLY through velocity composition (T_new @ transpose-inverse of
+    T_last): left-multiplicative exp(dx) updates never repair the
+    non-orthogonal component, so every solver output must be re-projected."""
+    return quat_to_mat(quat_from_mat(R))
+
+
+def se3_project(T: jnp.ndarray) -> jnp.ndarray:
+    """Re-project the rotation block of an SE3 onto the manifold."""
+    return se3(project_so3(se3_rot(T)), se3_trans(T))
+
+
 def interpolate_se3(T0: jnp.ndarray, T1: jnp.ndarray, alpha) -> jnp.ndarray:
     """Geodesic interpolation between two SE3s (slerp on rotation, lerp on t).
 

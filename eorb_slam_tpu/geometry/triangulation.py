@@ -74,6 +74,8 @@ def triangulation_checks(
 
     z1 = jnp.where(jnp.abs(pc1[..., 2]) < 1e-9, 1e-9, pc1[..., 2])
     z2 = jnp.where(jnp.abs(pc2[..., 2]) < 1e-9, 1e-9, pc2[..., 2])
+    inv_sigma1 = jnp.asarray(inv_sigma1)[..., None]
+    inv_sigma2 = jnp.asarray(inv_sigma2)[..., None]
     e1 = (pc1[..., :2] / z1[..., None] - ray1[..., :2]) * inv_sigma1
     e2 = (pc2[..., :2] / z2[..., None] - ray2[..., :2]) * inv_sigma2
     err1 = jnp.sum(e1 * e1, axis=-1)

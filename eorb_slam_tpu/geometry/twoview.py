@@ -225,7 +225,7 @@ def _check_motion(R, t, x1, x2, valid, f2):
     inv_sigma = jnp.sqrt(f2)
     ok, cos_par = triangulation.triangulation_checks(
         T1[None], T2[None], ray1, ray2, pts,
-        min_parallax_cos=0.99998,
+        min_parallax_cos=0.9998,  # ~1.15 deg, reference CheckRT gate
         max_reproj_err2=4.0 * CHI2_H,
         inv_sigma1=inv_sigma, inv_sigma2=inv_sigma,
     )

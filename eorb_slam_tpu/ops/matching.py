@@ -79,7 +79,7 @@ def rotation_consistency(
     return matched & in_top
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("mutual",))
 def match_nnratio(
     desc1_pm1: jnp.ndarray,
     valid1: jnp.ndarray,

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from eorb_slam_tpu.geometry import lie
-from eorb_slam_tpu.optim import reprojection, robust
+from eorb_slam_tpu.optim import linalg, reprojection, robust
 
 
 def _gn_step(cam_params, Tcw, pts_w, uv_obs, inv_sigma, weight_mask, use_huber):
@@ -37,7 +37,7 @@ def _gn_step(cam_params, Tcw, pts_w, uv_obs, inv_sigma, weight_mask, use_huber):
     b = -jnp.einsum("nij,ni->j", JW, r)  # -J^T W r
     # Levenberg damping for safety on degenerate geometry
     H = H + 1e-6 * jnp.eye(6, dtype=H.dtype) * jnp.maximum(jnp.trace(H) / 6.0, 1.0)
-    dx = jnp.linalg.solve(H, b)
+    dx = linalg.solve_spd_jacobi(H, b)
     return dx, chi2
 
 
@@ -87,5 +87,6 @@ def pose_optimization(
 
     inlier0 = valid_f
     Tcw, inlier = jax.lax.fori_loop(0, rounds, round_body, (Tcw0, inlier0))
+    Tcw = lie.se3_project(Tcw)  # see lie.project_so3: drift is amplified
     inlier_mask = (inlier > 0.5) & valid
     return Tcw, inlier_mask, jnp.sum(inlier_mask.astype(jnp.int32))

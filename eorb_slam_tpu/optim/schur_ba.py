@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from eorb_slam_tpu.geometry import lie
-from eorb_slam_tpu.optim import reprojection, robust
+from eorb_slam_tpu.optim import linalg, reprojection, robust
 
 
 class BAProblem(NamedTuple):
@@ -222,10 +222,9 @@ def _solve_cameras(p: BAProblem, S, b_s, lam):
     b_s = b_s * free[:, None]
 
     S_dense = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
-    # solve via Cholesky (S is SPD after damping+masking)
-    dx_c = jax.scipy.linalg.cho_solve(
-        jax.scipy.linalg.cho_factor(S_dense, lower=True), b_s.reshape(-1)
-    ).reshape(K, 6)
+    # Jacobi-preconditioned Cholesky: f32 + pixel^2 information needs the
+    # unit-scale fix (see optim/linalg.py)
+    dx_c = linalg.solve_spd_jacobi(S_dense, b_s.reshape(-1)).reshape(K, 6)
     return dx_c * free[:, None]
 
 
@@ -277,7 +276,9 @@ def _lm_loop(p: BAProblem, iters: int, lam0: float, axis_name=None) -> BAResult:
         dx_c, dx_l = _build_and_solve(
             p, kf_T, lm_pos, lam, use_huber, axis_name=axis_name
         )
-        kf_T_new = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(dx_c, kf_T)
+        kf_T_new = jax.vmap(lambda d, T: lie.se3_project(lie.se3_exp(d) @ T))(
+            dx_c, kf_T
+        )
         lm_new = lm_pos + dx_l
         cost_new = total_cost(kf_T_new, lm_new)
         accept = cost_new < cost

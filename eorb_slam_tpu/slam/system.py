@@ -1,0 +1,273 @@
+"""Monocular SLAM system facade: host orchestration over jitted steps.
+
+Replaces the reference's System + Tracking-state-machine + thread pipeline
+(reference src/System.cc, src/Tracking.cc:732-1246): the host keeps only
+small Python state (mode, cursors, velocity, trajectory log); every compute
+step — extraction, init matching, two-view reconstruction, tracking,
+triangulation, local BA — is a jitted fixed-shape call.
+
+States: NOT_INITIALIZED -> OK -> (LOST), mirroring Tracking::eTrackingState
+(reference include/Tracking.h:122-130; relocalization lands with the
+place-recognition milestone).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eorb_slam_tpu.geometry import camera as cam_mod, lie, twoview
+from eorb_slam_tpu.ops import frontend
+from eorb_slam_tpu.slam import local_mapping, map_state, tracking
+
+NOT_INITIALIZED = 0
+OK = 1
+LOST = 2
+
+
+@dataclasses.dataclass
+class FrameInput:
+    """Pre-extracted features for one frame (undistorted coords)."""
+
+    ts: float
+    xy_ud: jnp.ndarray       # (N,2)
+    octave: jnp.ndarray      # (N,)
+    angle: jnp.ndarray       # (N,)
+    desc_pm1: jnp.ndarray    # (N,256) int8
+    valid: jnp.ndarray       # (N,)
+
+
+class MonoSlam:
+    """Monocular ORB-SLAM-class pipeline (config 1 of BASELINE.json)."""
+
+    def __init__(
+        self,
+        cam_params: jnp.ndarray,
+        img_w: int = 752,
+        img_h: int = 480,
+        K: int = 32,
+        M: int = 4096,
+        N: int = 512,
+        P: int = 8,
+        local_window: int = 5,
+        min_init_matches: int = 80,
+        min_track_inliers: int = 15,
+        kf_inlier_ratio: float = 0.7,
+        max_frames_between_kf: int = 10,
+        seed: int = 0,
+    ):
+        self.cam = cam_params
+        self.img_w, self.img_h = img_w, img_h
+        self.map = map_state.empty_map(K=K, M=M, N=N, P=P)
+        self.state = NOT_INITIALIZED
+        self.n_kf = 0
+        self.local_window = local_window
+        self.min_init_matches = min_init_matches
+        self.min_track_inliers = min_track_inliers
+        self.kf_inlier_ratio = kf_inlier_ratio
+        self.max_frames_between_kf = max_frames_between_kf
+        self.key = jax.random.PRNGKey(seed)
+
+        self._init_frame: Optional[FrameInput] = None
+        self.T_last = jnp.eye(4)
+        self.velocity = jnp.eye(4)  # T_curr @ inv(T_last)
+        self.frames_since_kf = 0
+        self.n_inliers_ref = 0
+        self.trajectory: list[tuple[float, np.ndarray]] = []
+        self.stats = {"kf": 0, "lm": 0, "frames": 0, "lost": 0}
+
+    # ---------------------------------------------------------------- input
+
+    def process_image(self, img: jnp.ndarray, ts: float, max_kp: int = 512):
+        feats = frontend.extract(img, max_kp=max_kp)
+        xy_ud = cam_mod.undistort_points(self.cam, feats.xy)
+        return self.process_features(
+            FrameInput(ts, xy_ud, feats.octave, feats.angle,
+                       feats.desc_pm1, feats.valid)
+        )
+
+    def process_features(self, f: FrameInput):
+        self.stats["frames"] += 1
+        if self.state == NOT_INITIALIZED:
+            return self._try_initialize(f)
+        return self._track(f)
+
+    # ----------------------------------------------------------------- init
+
+    def _try_initialize(self, f: FrameInput):
+        if self._init_frame is None:
+            self._init_frame = f
+            return {"state": self.state, "n": 0}
+        ref = self._init_frame
+
+        m12, _ = tracking.match_for_initialization(
+            ref.desc_pm1, ref.valid, ref.xy_ud,
+            f.desc_pm1, f.valid, f.xy_ud,
+        )
+        matched = np.asarray(m12 >= 0)
+        n = int(matched.sum())
+        if n < self.min_init_matches:
+            # too few matches: slide the reference frame (reference resets
+            # mInitialFrame when matches < 100, src/Tracking.cc:1430)
+            self._init_frame = f
+            return {"state": self.state, "n": n}
+
+        idx2 = jnp.where(m12 >= 0, m12, 0)
+        self.key, k = jax.random.split(self.key)
+        res = twoview.reconstruct_two_views(
+            self.cam, ref.xy_ud, f.xy_ud[idx2], m12 >= 0, k,
+            min_triangulated=max(50, self.min_init_matches // 2),
+        )
+        if not bool(res.success):
+            return {"state": self.state, "n": n}
+
+        # --- create initial map: median-depth normalization (reference
+        # CreateInitialMapMonocular scales by inverse median depth)
+        good = np.asarray(res.is_triangulated)
+        pts = np.asarray(res.pts3d)
+        med_depth = float(np.median(pts[good, 2]))
+        scale = 1.0 / max(med_depth, 1e-6)
+        pts_s = jnp.asarray(pts * scale)
+        T2 = np.array(res.Tcw2)  # copy: jax->numpy views are read-only
+        T2[:3, 3] *= scale
+        T2 = jnp.asarray(T2)
+
+        N = ref.xy_ud.shape[0]
+        feat_ids = jnp.arange(N, dtype=jnp.int32)
+
+        # insert the two founding keyframes with no landmark links yet
+        m = self.map
+        m = map_state.insert_keyframe(
+            m, jnp.asarray(0), jnp.eye(4), ref.ts, ref.xy_ud, ref.octave,
+            ref.angle, ref.desc_pm1, ref.valid, jnp.full(N, -1, jnp.int32),
+        )
+        m = map_state.insert_keyframe(
+            m, jnp.asarray(1), T2, f.ts, f.xy_ud, f.octave,
+            f.angle, f.desc_pm1, f.valid, jnp.full(N, -1, jnp.int32),
+        )
+        ok = res.is_triangulated & (m12 >= 0)
+        m, lm_ids = map_state.alloc_landmarks(
+            m, pts_s, ref.desc_pm1, ok,
+            jnp.asarray(0), feat_ids, jnp.asarray(1), idx2,
+        )
+        self.map = m
+        self.n_kf = 2
+
+        # init BA: optimize KF1 + landmarks, KF0 fixed (gauge)
+        kf_free = jnp.zeros(self.map.K, bool).at[1].set(True)
+        self.map, c0, c1 = local_mapping.local_ba(
+            self.map, self.cam, kf_free, iters=10
+        )
+        # re-normalize scale after init BA (monocular scale gauge is free
+        # with a single fixed pose; reference re-scales by median depth in
+        # CreateInitialMapMonocular after the init optimization)
+        lmv = np.asarray(self.map.lm_valid)
+        depths = np.asarray(self.map.lm_pos)[lmv, 2]
+        s2 = 1.0 / max(float(np.median(depths)), 1e-6)
+        T1b = np.array(self.map.kf_T[1])
+        T1b[:3, 3] *= s2
+        self.map = self.map._replace(
+            lm_pos=self.map.lm_pos * s2,
+            kf_T=self.map.kf_T.at[1].set(jnp.asarray(T1b)),
+        )
+
+        self.state = OK
+        self.T_last = self.map.kf_T[1]
+        self.velocity = jnp.eye(4)
+        self.frames_since_kf = 0
+        self.n_inliers_ref = int(np.asarray(ok).sum())
+        self._log_pose(f.ts, self.T_last)
+        self.stats["kf"] = 2
+        self.stats["lm"] = int(self.map.lm_valid.sum())
+        return {"state": self.state, "n": n, "n_pts": self.stats["lm"]}
+
+    # ---------------------------------------------------------------- track
+
+    def _track(self, f: FrameInput):
+        T_pred = self.velocity @ self.T_last
+        res = tracking.track_frame(
+            self.map, self.cam, f.xy_ud, f.octave, f.desc_pm1, f.valid,
+            T_pred, img_w=self.img_w, img_h=self.img_h,
+        )
+        n_inl = int(res.n_inliers)
+
+        if n_inl < self.min_track_inliers:
+            # wider re-search around the last pose (motion model may be off;
+            # reference falls back to TrackReferenceKeyFrame / relocalization)
+            res = tracking.track_frame(
+                self.map, self.cam, f.xy_ud, f.octave, f.desc_pm1, f.valid,
+                self.T_last, img_w=self.img_w, img_h=self.img_h,
+                search_radius=40.0, nn_ratio=0.95,
+            )
+            n_inl = int(res.n_inliers)
+            if n_inl < self.min_track_inliers:
+                self.state = LOST
+                self.stats["lost"] += 1
+                self._log_pose(f.ts, None)
+                return {"state": self.state, "n_inliers": n_inl}
+
+        Tcw = res.Tcw
+        self.velocity = Tcw @ lie.se3_inv(self.T_last)
+        self.T_last = Tcw
+        self.frames_since_kf += 1
+        self._log_pose(f.ts, Tcw)
+
+        # keyframe policy (simplified NeedNewKeyFrame, src/Tracking.cc:2083)
+        need_kf = self.n_kf < self.map.K and (
+            n_inl < self.kf_inlier_ratio * max(self.n_inliers_ref, 1)
+            or self.frames_since_kf >= self.max_frames_between_kf
+        )
+        out = {"state": self.state, "n_inliers": n_inl, "kf": False}
+        if need_kf:
+            self._insert_keyframe(f, res)
+            out.update(kf=True, n_lm=self.stats["lm"])
+        return out
+
+    def _insert_keyframe(self, f: FrameInput, res: tracking.TrackResult):
+        slot = jnp.asarray(self.n_kf)
+        self.map = map_state.insert_keyframe(
+            self.map, slot, res.Tcw, f.ts, f.xy_ud, f.octave, f.angle,
+            f.desc_pm1, f.valid, res.feat_lm,
+        )
+        # triangulate against several recent keyframes: consecutive KFs may
+        # have too little baseline for the parallax gate (the reference uses
+        # up to 20 covisible KFs, src/LocalMapping.cc CreateNewMapPoints)
+        for back in range(1, min(4, self.n_kf) + 1):
+            ref_slot = jnp.asarray(self.n_kf - back)
+            self.map, n_new = local_mapping.create_new_landmarks(
+                self.map, self.cam, slot, ref_slot
+            )
+        self.n_kf += 1
+        self.frames_since_kf = 0
+        self.n_inliers_ref = int(res.n_inliers)
+
+        # local BA over the last `local_window` keyframes; at least TWO
+        # older keyframes stay fixed so the monocular scale gauge is pinned
+        lo = max(2, self.n_kf - self.local_window)
+        kf_free = np.zeros(self.map.K, bool)
+        kf_free[lo : self.n_kf] = True
+        self.map, c0, c1 = local_mapping.local_ba(
+            self.map, self.cam, jnp.asarray(kf_free)
+        )
+        self.T_last = self.map.kf_T[self.n_kf - 1]
+        self.stats["kf"] = self.n_kf
+        self.stats["lm"] = int(self.map.lm_valid.sum())
+
+    # ------------------------------------------------------------- output
+
+    def _log_pose(self, ts: float, Tcw):
+        self.trajectory.append(
+            (ts, None if Tcw is None else np.asarray(Tcw))
+        )
+
+    def trajectory_twc(self):
+        """[(ts, Twc 4x4)] for evaluation (camera-to-world)."""
+        out = []
+        for ts, Tcw in self.trajectory:
+            if Tcw is not None:
+                out.append((ts, np.linalg.inv(Tcw)))
+        return out

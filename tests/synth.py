@@ -1,0 +1,94 @@
+"""Synthetic SLAM world: 3D landmark cloud + smooth camera trajectory +
+per-frame feature rendering (stable per-landmark descriptors, pixel noise,
+clutter). The standard backend-testing fixture the reference lacks
+(SURVEY.md §4: the only mock is a trajectory generator)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from eorb_slam_tpu.geometry import camera, lie
+from eorb_slam_tpu.slam.system import FrameInput
+
+CAM = camera.make_pinhole(458.0, 457.0, 376.0, 240.0)
+W, H = 752, 480
+
+
+def random_descriptors(n, seed):
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, (n, 256)).astype(np.int8)
+    return bits * 2 - 1
+
+
+class SynthWorld:
+    def __init__(self, n_landmarks=2000, seed=0, noise_px=0.4):
+        rng = np.random.default_rng(seed)
+        # landmarks in a box in front of the trajectory
+        self.lm = np.concatenate(
+            [
+                rng.uniform(-6, 6, (n_landmarks, 1)),
+                rng.uniform(-4, 4, (n_landmarks, 1)),
+                rng.uniform(4, 14, (n_landmarks, 1)),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        self.desc = random_descriptors(n_landmarks, seed + 1)
+        self.noise_px = noise_px
+        self.rng = rng
+
+    def pose(self, t: float) -> np.ndarray:
+        """Smooth forward+lateral trajectory with gentle yaw. Returns Tcw."""
+        pos = np.asarray([1.2 * t, 0.4 * np.sin(0.7 * t), 0.3 * t])
+        yaw = 0.12 * np.sin(0.5 * t)
+        pitch = 0.05 * np.sin(0.3 * t)
+        R = np.asarray(
+            lie.so3_exp(jnp.asarray([pitch, yaw, 0.0], jnp.float32))
+        )
+        Tcw = np.eye(4, dtype=np.float32)
+        Tcw[:3, :3] = R.T
+        Tcw[:3, 3] = -R.T @ pos
+        return Tcw
+
+    def frame(self, t: float, n_slots=512, n_clutter=40, seed=None) -> FrameInput:
+        rng = self.rng if seed is None else np.random.default_rng(seed)
+        Tcw = self.pose(t)
+        pc = (Tcw[:3, :3] @ self.lm.T).T + Tcw[:3, 3]
+        uv = np.stack(
+            [
+                458.0 * pc[:, 0] / pc[:, 2] + 376.0,
+                457.0 * pc[:, 1] / pc[:, 2] + 240.0,
+            ],
+            axis=1,
+        )
+        vis = (pc[:, 2] > 0.3) & (uv[:, 0] >= 5) & (uv[:, 0] < W - 5) \
+            & (uv[:, 1] >= 5) & (uv[:, 1] < H - 5)
+        idx = np.flatnonzero(vis)
+        rng.shuffle(idx)
+        idx = idx[: n_slots - n_clutter]
+
+        xy = np.zeros((n_slots, 2), np.float32)
+        desc = np.zeros((n_slots, 256), np.int8)
+        valid = np.zeros(n_slots, bool)
+        k = len(idx)
+        xy[:k] = uv[idx] + rng.normal(0, self.noise_px, (k, 2))
+        # descriptor bit noise: flip ~8 bits
+        d = self.desc[idx].copy()
+        flips = rng.integers(0, 256, (k, 8))
+        for r in range(k):
+            d[r, flips[r]] *= -1
+        desc[:k] = d
+        valid[:k] = True
+        # clutter features (random positions, random descriptors)
+        xy[k : k + n_clutter] = rng.uniform((0, 0), (W, H), (n_clutter, 2))
+        desc[k : k + n_clutter] = random_descriptors(n_clutter, int(t * 1000) % 99991)
+        valid[k : k + n_clutter] = True
+
+        return FrameInput(
+            ts=t,
+            xy_ud=jnp.asarray(xy),
+            octave=jnp.zeros(n_slots, jnp.int32),
+            angle=jnp.zeros(n_slots, jnp.float32),
+            desc_pm1=jnp.asarray(desc),
+            valid=jnp.asarray(valid),
+        ), Tcw
