@@ -42,27 +42,45 @@ def vee(M: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([M[..., 2, 1], M[..., 0, 2], M[..., 1, 0]], axis=-1)
 
 
+_SMALL2 = 1e-10  # squared-angle Taylor-guard threshold (theta < 1e-5)
+
+
+def _safe_theta(t2):
+    """sqrt(t2) whose tangent is finite at t2=0 (clamp BEFORE sqrt — the
+    `where` after a singular op does not stop NaN tangents)."""
+    small = t2 < _SMALL2
+    return small, jnp.sqrt(jnp.where(small, 1.0, t2))
+
+
+def _sinc_sq(t2):
+    """sin(theta)/theta as a function of theta^2, AD-safe at 0."""
+    small, th = _safe_theta(t2)
+    return jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(th) / th)
+
+
+def _cosc_sq(t2):
+    """(1-cos(theta))/theta^2 as a function of theta^2, AD-safe at 0."""
+    small, th = _safe_theta(t2)
+    return jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(th)) / jnp.where(small, 1.0, t2))
+
+
 def _sinc(x):
     """sin(x)/x with Taylor guard."""
-    small = jnp.abs(x) < 1e-5
-    xs = jnp.where(small, 1.0, x)
-    return jnp.where(small, 1.0 - x * x / 6.0, jnp.sin(xs) / xs)
+    return _sinc_sq(x * x)
 
 
 def _cosc(x):
     """(1-cos(x))/x^2 with Taylor guard."""
-    small = jnp.abs(x) < 1e-5
-    xs = jnp.where(small, 1.0, x)
-    return jnp.where(small, 0.5 - x * x / 24.0, (1.0 - jnp.cos(xs)) / (xs * xs))
+    return _cosc_sq(x * x)
 
 
 def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: rotation vector (...,3) -> rotation matrix (...,3,3)."""
-    theta = jnp.linalg.norm(phi, axis=-1)
+    t2 = jnp.sum(phi * phi, axis=-1)
     K = hat(phi)
     K2 = K @ K
-    a = _sinc(theta)[..., None, None]
-    b = _cosc(theta)[..., None, None]
+    a = _sinc_sq(t2)[..., None, None]
+    b = _cosc_sq(t2)[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
     return eye + a * K + b * K2
 
@@ -82,26 +100,23 @@ def so3_right_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
     Matches the reference's IntegratedRotation.rightJ
     (reference include/IMU/ImuTypes.h:142-152).
     """
-    theta = jnp.linalg.norm(phi, axis=-1)
+    t2 = jnp.sum(phi * phi, axis=-1)
     K = hat(phi)
     K2 = K @ K
-    t2 = theta * theta
-    small = theta < 1e-5
-    ts = jnp.where(small, 1.0, theta)
-    a = jnp.where(small, 1.0 / 6.0 - t2 / 120.0, (ts - jnp.sin(ts)) / (ts * t2 + 1e-38))
-    b = _cosc(theta)
+    small, ts = _safe_theta(t2)
+    a = jnp.where(small, 1.0 / 6.0 - t2 / 120.0,
+                  (ts - jnp.sin(ts)) / jnp.where(small, 1.0, ts * t2))
+    b = _cosc_sq(t2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
     return eye - b[..., None, None] * K + a[..., None, None] * K2
 
 
 def so3_right_jacobian_inv(phi: jnp.ndarray) -> jnp.ndarray:
     """Inverse right Jacobian of SO(3)."""
-    theta = jnp.linalg.norm(phi, axis=-1)
+    t2 = jnp.sum(phi * phi, axis=-1)
     K = hat(phi)
     K2 = K @ K
-    t2 = theta * theta
-    small = theta < 1e-5
-    ts = jnp.where(small, 1.0, theta)
+    small, ts = _safe_theta(t2)
     # coefficient c = 1/theta^2 - (1+cos)/(2 theta sin)
     c = jnp.where(
         small,
@@ -183,10 +198,11 @@ def quat_log(q: jnp.ndarray) -> jnp.ndarray:
     q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
     w = jnp.clip(q[..., 0], -1.0, 1.0)
     v = q[..., 1:]
-    vn = jnp.linalg.norm(v, axis=-1)
+    vn2 = jnp.sum(v * v, axis=-1)
+    small = vn2 < 1e-18
+    vn = jnp.sqrt(jnp.where(small, 1.0, vn2))   # clamp BEFORE sqrt (AD-safe)
     theta = 2.0 * jnp.arctan2(vn, w)
-    small = vn < 1e-9
-    scale = jnp.where(small, 2.0 / jnp.maximum(w, 1e-9), theta / jnp.where(small, 1.0, vn))
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, 1e-9), theta / vn)
     return v * scale[..., None]
 
 
@@ -197,11 +213,13 @@ def quat_slerp(q0: jnp.ndarray, q1: jnp.ndarray, t) -> jnp.ndarray:
     q1 = jnp.where(dot < 0, -q1, q1)
     dot = jnp.abs(dot)
     dot = jnp.clip(dot, -1.0, 1.0)
-    theta = jnp.arccos(dot)
+    # margin must be representable in f32 (1 - 1e-9 rounds to exactly 1.0)
+    small = dot > 1.0 - 1e-6
+    # clamp BEFORE arccos: its derivative blows up at dot=1 (AD-safe guard)
+    theta = jnp.arccos(jnp.where(small, 0.5, dot))
     sin_theta = jnp.sin(theta)
-    small = sin_theta < 1e-6
-    w0 = jnp.where(small, 1.0 - t, jnp.sin((1.0 - t) * theta) / jnp.where(small, 1.0, sin_theta))
-    w1 = jnp.where(small, t, jnp.sin(t * theta) / jnp.where(small, 1.0, sin_theta))
+    w0 = jnp.where(small, 1.0 - t, jnp.sin((1.0 - t) * theta) / sin_theta)
+    w1 = jnp.where(small, t, jnp.sin(t * theta) / sin_theta)
     q = w0 * q0 + w1 * q1
     return q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-38)
 
@@ -254,14 +272,13 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     """se3 tangent (...,6) [rho, phi] -> (...,4,4)."""
     rho, phi = xi[..., :3], xi[..., 3:]
     R = so3_exp(phi)
-    theta = jnp.linalg.norm(phi, axis=-1)
+    t2 = jnp.sum(phi * phi, axis=-1)
     K = hat(phi)
     K2 = K @ K
-    t2 = theta * theta
-    small = theta < 1e-5
-    ts = jnp.where(small, 1.0, theta)
-    b = _cosc(theta)
-    c = jnp.where(small, 1.0 / 6.0 - t2 / 120.0, (ts - jnp.sin(ts)) / (ts * t2 + 1e-38))
+    small, ts = _safe_theta(t2)
+    b = _cosc_sq(t2)
+    c = jnp.where(small, 1.0 / 6.0 - t2 / 120.0,
+                  (ts - jnp.sin(ts)) / jnp.where(small, 1.0, ts * t2))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
     V = eye + b[..., None, None] * K + c[..., None, None] * K2
     t = (V @ rho[..., None])[..., 0]
@@ -271,17 +288,16 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
 def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     """(...,4,4) -> tangent (...,6) [rho, phi]."""
     phi = so3_log(se3_rot(T))
-    theta = jnp.linalg.norm(phi, axis=-1)
+    t2 = jnp.sum(phi * phi, axis=-1)
     K = hat(phi)
     K2 = K @ K
-    small = theta < 1e-5
-    ts = jnp.where(small, 1.0, theta)
-    t2 = theta * theta
+    small, ts = _safe_theta(t2)
     # V^{-1} = I - K/2 + c K^2
     c = jnp.where(
         small,
         1.0 / 12.0 + t2 / 720.0,
-        (1.0 - ts * jnp.cos(ts / 2.0) / (2.0 * jnp.sin(ts / 2.0) + 1e-38)) / (t2 + 1e-38),
+        (1.0 - ts * jnp.cos(ts / 2.0) / (2.0 * jnp.sin(ts / 2.0) + 1e-38))
+        / jnp.where(small, 1.0, t2),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), K.shape)
     Vinv = eye - 0.5 * K + c[..., None, None] * K2
@@ -321,17 +337,15 @@ def sim3_exp(xi: jnp.ndarray):
     rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
     R = so3_exp(phi)
     s = jnp.exp(sigma)
-    theta = jnp.linalg.norm(phi, axis=-1)
     K = hat(phi)
     K2 = K @ K
 
-    t2 = theta * theta
+    t2 = jnp.sum(phi * phi, axis=-1)
     s2 = sigma * sigma
     small_sig = jnp.abs(sigma) < 1e-5
-    small_th = theta < 1e-5
+    small_th, th_s = _safe_theta(t2)
 
     sig_s = jnp.where(small_sig, 1.0, sigma)
-    th_s = jnp.where(small_th, 1.0, theta)
 
     # W = A I + B K + C K^2 with  A = int_0^1 e^{sigma u} du,
     # B = (1/theta)   int e^{sigma u} sin(u theta) du,
@@ -357,7 +371,7 @@ def sim3_exp(xi: jnp.ndarray):
     C_small_th = jnp.where(small_sig, 1.0 / 6.0 + sigma / 12.0, C_small_th)
 
     # sigma->0, general theta limits
-    B_small_sig = _cosc(theta)
+    B_small_sig = _cosc_sq(t2)
     C_small_sig = jnp.where(
         small_th, 1.0 / 6.0, (th_s - jnp.sin(th_s)) / (th_s * t2 + 1e-38)
     )

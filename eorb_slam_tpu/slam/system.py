@@ -258,16 +258,40 @@ class MonoSlam:
         self.stats["lm"] = int(self.map.lm_valid.sum())
 
     # ------------------------------------------------------------- output
+    #
+    # Trajectory bookkeeping mirrors the reference's FrameInfo +
+    # SaveTrajectoryEuRoC (reference src/Tracking.cc:1233-1245,
+    # src/System.cc): each frame stores its pose RELATIVE to the current
+    # reference keyframe, and absolute poses are recomposed at output time
+    # from the keyframe's latest pose — so BA refinements, gravity
+    # alignment, and metric rescaling retroactively correct the whole
+    # trajectory.
 
     def _log_pose(self, ts: float, Tcw):
-        self.trajectory.append(
-            (ts, None if Tcw is None else np.asarray(Tcw))
-        )
+        if Tcw is None:
+            self.trajectory.append((ts, None, -1))
+            return
+        ref = max(self.n_kf - 1, 0)
+        T_rel = np.asarray(Tcw @ lie.se3_inv(self.map.kf_T[ref]))
+        self.trajectory.append((ts, T_rel, ref))
+
+    def _rescale_trajectory(self, s: float):
+        """Apply a map rescale to the stored relative poses (their
+        translations are in map units)."""
+        out = []
+        for ts, T_rel, ref in self.trajectory:
+            if T_rel is not None:
+                T_rel = T_rel.copy()
+                T_rel[:3, 3] *= s
+            out.append((ts, T_rel, ref))
+        self.trajectory = out
 
     def trajectory_twc(self):
         """[(ts, Twc 4x4)] for evaluation (camera-to-world)."""
+        kf_T = np.asarray(self.map.kf_T)
         out = []
-        for ts, Tcw in self.trajectory:
-            if Tcw is not None:
+        for ts, T_rel, ref in self.trajectory:
+            if T_rel is not None:
+                Tcw = T_rel @ kf_T[ref]
                 out.append((ts, np.linalg.inv(Tcw)))
         return out

@@ -1,0 +1,304 @@
+"""Monocular-inertial SLAM system (IMU_MONOCULAR mode).
+
+Extends the monocular orchestrator with the reference's inertial machinery
+(reference src/Tracking.cc:454-570 PreintegrateIMU, :572 PredictStateIMU;
+src/LocalMapping.cc:198-241 staged InitializeIMU; src/IMU/IMU_Manager.cpp):
+
+- per-frame preintegration windows merged into per-keyframe factors,
+- IMU dead-reckoning as the motion model once initialized,
+- one-shot inertial initialization (gravity dir, metric scale, biases,
+  velocities) followed by gravity-aligning + rescaling the whole map,
+- visual-inertial local BA (optim/vi_ba.py) after each keyframe.
+
+Bias handling is first-order: preintegrations are stored with the bias they
+were integrated at and corrected through their bias Jacobians at use — the
+reference's Reintegrate-on-bias-update becomes unnecessary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eorb_slam_tpu.geometry import lie
+from eorb_slam_tpu.imu import preintegration as pre_mod
+from eorb_slam_tpu.optim import inertial, vi_ba
+from eorb_slam_tpu.slam import local_mapping, map_state, tracking
+from eorb_slam_tpu.slam.system import LOST, NOT_INITIALIZED, OK, FrameInput, MonoSlam
+
+
+@dataclasses.dataclass
+class ImuChunk:
+    """IMU samples between the previous and current frame."""
+
+    gyro: np.ndarray   # (S,3)
+    acc: np.ndarray    # (S,3)
+    dts: np.ndarray    # (S,)
+
+
+def _stack_identity_pre(K: int) -> pre_mod.Preintegrated:
+    one = pre_mod.identity_preintegrated()
+    return jax.tree_util.tree_map(
+        lambda x: jnp.tile(x[None], (K,) + (1,) * x.ndim), one
+    )
+
+
+class MonoInertialSlam(MonoSlam):
+    """Monocular + IMU pipeline (config 2 of BASELINE.json)."""
+
+    def __init__(self, cam_params, calib: pre_mod.ImuCalib,
+                 min_kf_imu_init: int = 6, min_time_imu_init: float = 1.5,
+                 **kw):
+        super().__init__(cam_params, **kw)
+        self.calib = calib
+        self.min_kf_imu_init = min_kf_imu_init
+        self.min_time_imu_init = min_time_imu_init
+
+        K = self.map.K
+        self.pre_kf = _stack_identity_pre(K)       # factor: KF k-1 -> k
+        self.kf_vel = jnp.zeros((K, 3), jnp.float32)
+        self.kf_bg = jnp.zeros((K, 3), jnp.float32)
+        self.kf_ba = jnp.zeros((K, 3), jnp.float32)
+
+        self.imu_initialized = False
+        self._init_kf_count = 0
+        self.bg = jnp.zeros(3, jnp.float32)
+        self.ba = jnp.zeros(3, jnp.float32)
+        self.vel = jnp.zeros(3, jnp.float32)       # current body velocity
+        self.pre_since_kf = pre_mod.identity_preintegrated()
+        self.pre_last_frame = pre_mod.identity_preintegrated()
+        self.scale_applied = 1.0
+
+    # ---------------------------------------------------------------- input
+
+    def process_features_imu(self, f: FrameInput, imu: ImuChunk):
+        """One frame with the IMU samples since the previous frame."""
+        if imu.gyro.shape[0] > 0:
+            pre = pre_mod.integrate(
+                jnp.asarray(imu.gyro, jnp.float32),
+                jnp.asarray(imu.acc, jnp.float32),
+                jnp.asarray(imu.dts, jnp.float32),
+                jnp.ones(imu.gyro.shape[0], bool),
+                jnp.zeros(3), jnp.zeros(3), self.calib,
+            )
+        else:
+            pre = pre_mod.identity_preintegrated()
+        self.pre_last_frame = pre
+        self.pre_since_kf = pre_mod.merge(self.pre_since_kf, pre)
+        return self.process_features(f)
+
+    # ------------------------------------------------------ overridden hooks
+
+    def _try_initialize(self, f: FrameInput):
+        ref_before = self._init_frame
+        out = super()._try_initialize(f)
+        if self.state == OK:
+            # founding keyframes created: the accumulated window since the
+            # reference frame is the KF0 -> KF1 inertial factor
+            self.pre_kf = jax.tree_util.tree_map(
+                lambda s, x: s.at[1].set(x), self.pre_kf, self.pre_since_kf
+            )
+            self.pre_since_kf = pre_mod.identity_preintegrated()
+        elif self._init_frame is f and ref_before is not f:
+            # reference frame was replaced: restart the accumulation window
+            self.pre_since_kf = pre_mod.identity_preintegrated()
+        return out
+
+    def _track(self, f: FrameInput):
+        if self.imu_initialized:
+            # IMU dead-reckoning motion model (PredictStateIMU)
+            Twb = pre_mod.Twb_from_Tcw(self.T_last, self.calib.Tbc)
+            R2, p2, v2 = pre_mod.predict_state(
+                Twb[:3, :3], Twb[:3, 3], self.vel,
+                self.pre_last_frame, self.bg, self.ba,
+            )
+            Twb2 = jnp.eye(4).at[:3, :3].set(R2).at[:3, 3].set(p2)
+            T_pred = pre_mod.Tcw_from_Twb(Twb2, self.calib.Tbc)
+            self.velocity = T_pred @ lie.se3_inv(self.T_last)
+            self.vel = v2
+        T_prev = self.T_last
+        out = super()._track(f)
+        if self.imu_initialized and out["state"] == OK:
+            # correct the predicted velocity with the visually-optimized
+            # pose (finite difference of body positions over the window)
+            dt = float(self.pre_last_frame.dt)
+            if dt > 1e-4:
+                p1 = pre_mod.Twb_from_Tcw(T_prev, self.calib.Tbc)[:3, 3]
+                p2 = pre_mod.Twb_from_Tcw(self.T_last, self.calib.Tbc)[:3, 3]
+                self.vel = (p2 - p1) / dt
+        return out
+
+    def _insert_keyframe(self, f: FrameInput, res):
+        slot = self.n_kf
+        pre_window = self.pre_since_kf
+        super()._insert_keyframe(f, res)  # increments n_kf, runs local BA
+
+        self.pre_kf = jax.tree_util.tree_map(
+            lambda s, x: s.at[slot].set(x), self.pre_kf, pre_window
+        )
+        self.kf_vel = self.kf_vel.at[slot].set(self.vel)
+        self.kf_bg = self.kf_bg.at[slot].set(self.bg)
+        self.kf_ba = self.kf_ba.at[slot].set(self.ba)
+        self.pre_since_kf = pre_mod.identity_preintegrated()
+
+        if not self.imu_initialized:
+            self._maybe_initialize_imu()
+        else:
+            self._vi_local_ba()
+            # staged scale/gravity refinement while the map is young
+            # (reference LocalMapping::ScaleRefinement windows,
+            # src/LocalMapping.cc:244-255)
+            if self.n_kf - self._init_kf_count in (2, 4, 8):
+                self._scale_refinement()
+
+    # ----------------------------------------------------------- imu stages
+
+    def _maybe_initialize_imu(self):
+        if self.n_kf < self.min_kf_imu_init:
+            return
+        ts = np.asarray(self.map.kf_ts)[: self.n_kf]
+        if ts[-1] - ts[0] < self.min_time_imu_init:
+            return
+
+        K = self.map.K
+        Tbc = self.calib.Tbc
+        Twb = jax.vmap(lambda T: pre_mod.Twb_from_Tcw(T, Tbc))(self.map.kf_T)
+        edge_valid = jnp.asarray(
+            (np.arange(K) >= 1) & (np.arange(K) < self.n_kf)
+        )
+        res = inertial.inertial_init(
+            Twb, self.pre_kf, edge_valid,
+            prior_gyro=1e2, prior_acc=1e6, iters=60,
+        )
+        if not np.isfinite(float(res.cost)) or float(res.scale) < 1e-3:
+            return
+
+        # gravity-align: rotate the world so g maps onto (0,0,-9.81)
+        g_est = np.asarray(res.g)
+        g_tgt = np.asarray([0.0, 0.0, -pre_mod.GRAVITY])
+        v = np.cross(g_est, g_tgt)
+        s_ang = np.linalg.norm(v) / (np.linalg.norm(g_est) * pre_mod.GRAVITY)
+        c_ang = g_est @ g_tgt / (np.linalg.norm(g_est) * pre_mod.GRAVITY)
+        if s_ang > 1e-8:
+            axis = v / np.linalg.norm(v)
+            Ryw = np.asarray(
+                lie.so3_exp(jnp.asarray(axis * np.arctan2(s_ang, c_ang),
+                                        jnp.float32))
+            )
+        else:
+            Ryw = np.eye(3, dtype=np.float32)
+        Ryw = jnp.asarray(Ryw)
+        s = res.scale
+
+        Twb2, lm2, vel2 = inertial.apply_scaled_rotation(
+            Twb, self.map.lm_pos, res.vel, Ryw, s
+        )
+        kf_T2 = jax.vmap(lambda T: pre_mod.Tcw_from_Twb(T, Tbc))(Twb2)
+        self.map = self.map._replace(kf_T=kf_T2, lm_pos=lm2)
+        self._rescale_trajectory(float(s))
+        self.kf_vel = vel2
+        self.bg = res.bg
+        self.ba = res.ba
+        self.kf_bg = jnp.tile(res.bg[None], (K, 1))
+        self.kf_ba = jnp.tile(res.ba[None], (K, 1))
+        self.vel = vel2[self.n_kf - 1]
+        self.T_last = kf_T2[self.n_kf - 1]
+        self.velocity = jnp.eye(4)
+        self.imu_initialized = True
+        self._init_kf_count = self.n_kf
+        self.scale_applied = float(s)
+
+        self._vi_local_ba(full=True)
+
+    def _scale_refinement(self):
+        """Re-estimate (scale, gravity dir, biases, velocities) over all
+        keyframes and re-apply; corrects the coarse first estimate once more
+        baseline has accumulated."""
+        K = self.map.K
+        Tbc = self.calib.Tbc
+        Twb = jax.vmap(lambda T: pre_mod.Twb_from_Tcw(T, Tbc))(self.map.kf_T)
+        edge_valid = jnp.asarray(
+            (np.arange(K) >= 1) & (np.arange(K) < self.n_kf)
+        )
+        res = inertial.inertial_init(
+            Twb, self.pre_kf, edge_valid,
+            prior_gyro=1.0, prior_acc=1e4, iters=40,
+        )
+        s = float(res.scale)
+        if not np.isfinite(s) or not (0.5 < s < 2.0):
+            return  # refinement should be a small correction; reject else
+        g_est = np.asarray(res.g)
+        g_tgt = np.asarray([0.0, 0.0, -pre_mod.GRAVITY])
+        v = np.cross(g_est, g_tgt)
+        s_ang = np.linalg.norm(v) / (np.linalg.norm(g_est) * pre_mod.GRAVITY)
+        c_ang = g_est @ g_tgt / (np.linalg.norm(g_est) * pre_mod.GRAVITY)
+        if s_ang > 1e-8:
+            axis = v / np.linalg.norm(v)
+            Ryw = jnp.asarray(np.asarray(lie.so3_exp(jnp.asarray(
+                axis * np.arctan2(s_ang, c_ang), jnp.float32))))
+        else:
+            Ryw = jnp.eye(3)
+        Twb2, lm2, vel2 = inertial.apply_scaled_rotation(
+            Twb, self.map.lm_pos, res.vel, Ryw, res.scale
+        )
+        kf_T2 = jax.vmap(lambda T: pre_mod.Tcw_from_Twb(T, Tbc))(Twb2)
+        self.map = self.map._replace(kf_T=kf_T2, lm_pos=lm2)
+        self._rescale_trajectory(s)
+        self.kf_vel = vel2
+        self.bg = res.bg
+        self.ba = res.ba
+        self.kf_bg = jnp.tile(res.bg[None], (K, 1))
+        self.kf_ba = jnp.tile(res.ba[None], (K, 1))
+        last = self.n_kf - 1
+        self.vel = vel2[last]
+        self.T_last = kf_T2[last]
+        self.scale_applied *= s
+
+    def _vi_local_ba(self, full: bool = False):
+        from eorb_slam_tpu.ops import frontend
+        from eorb_slam_tpu.optim import schur_ba
+
+        m = self.map
+        lo = 1 if full else max(1, self.n_kf - self.local_window)
+        kf_free = np.zeros(m.K, bool)
+        kf_free[lo : self.n_kf] = True
+
+        obs_uv = m.kf_xy[m.obs_kf, m.obs_feat]
+        obs_oct = m.kf_octave[m.obs_kf, m.obs_feat]
+        visual = schur_ba.BAProblem(
+            cam_params=self.cam,
+            kf_T=m.kf_T,
+            kf_fixed=jnp.asarray(~kf_free),
+            kf_valid=m.kf_valid,
+            lm_pos=m.lm_pos,
+            lm_valid=m.lm_valid,
+            obs_kf=m.obs_kf,
+            obs_uv=obs_uv,
+            obs_inv_sigma=frontend.inv_sigma(obs_oct),
+            obs_valid=m.obs_valid & m.kf_valid[m.obs_kf],
+        )
+        K = m.K
+        edge_valid = jnp.asarray(
+            (np.arange(K) >= max(1, lo)) & (np.arange(K) < self.n_kf)
+        )
+        prob = vi_ba.VIBAProblem(
+            visual=visual, Tbc=self.calib.Tbc,
+            kf_vel=self.kf_vel, kf_bg=self.kf_bg, kf_ba=self.kf_ba,
+            pre=self.pre_kf, edge_valid=edge_valid, g=pre_mod.GRAVITY_W,
+        )
+        res = vi_ba.vi_bundle_adjust(prob, iters=8)
+        new_obs_valid = m.obs_valid & (res.obs_inlier | (m.lm_nobs[:, None] <= 2))
+        self.map = m._replace(
+            kf_T=res.kf_T, lm_pos=res.lm_pos, obs_valid=new_obs_valid
+        )
+        self.kf_vel = res.kf_vel
+        self.kf_bg = res.kf_bg
+        self.kf_ba = res.kf_ba
+        last = self.n_kf - 1
+        self.T_last = res.kf_T[last]
+        self.vel = res.kf_vel[last]
+        self.bg = res.kf_bg[last]
+        self.ba = res.kf_ba[last]

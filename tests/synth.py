@@ -21,6 +21,43 @@ def random_descriptors(n, seed):
     return bits * 2 - 1
 
 
+GRAVITY_W = np.asarray([0.0, 0.0, -9.81])
+
+
+def imu_between(world: "SynthWorld", t0: float, t1: float, hz: float = 200.0,
+                bg=np.zeros(3), ba=np.zeros(3), noise=0.0, rng=None):
+    """Ideal IMU samples consistent with SynthWorld's camera trajectory
+    (body frame == camera frame, Tbc = I). Gyro via finite-difference
+    rotation log; accel = R^T (a_w - g_w) with the analytic translational
+    acceleration of SynthWorld.pose."""
+    from eorb_slam_tpu.slam.vi_system import ImuChunk
+
+    n = max(int(round((t1 - t0) * hz)), 0)
+    ts = t0 + np.arange(n) / hz
+    h = 1e-4
+    gyro = np.zeros((n, 3))
+    acc = np.zeros((n, 3))
+    for i, t in enumerate(ts):
+        Ra = np.asarray(world.pose(t - h))[:3, :3].T   # Rwc(t-h)
+        Rb = np.asarray(world.pose(t + h))[:3, :3].T
+        w = np.asarray(lie.so3_log(jnp.asarray(Ra.T @ Rb, jnp.float32))) / (2 * h)
+        R = np.asarray(world.pose(t))[:3, :3].T
+        a_w = np.asarray([
+            -0.25 * 1.69 * np.sin(1.3 * t),
+            -0.35 * 4.0 * np.sin(2.0 * t),
+            0.2 * 2.89 * np.cos(1.7 * t),
+        ])
+        gyro[i] = w + bg
+        acc[i] = R.T @ (a_w - GRAVITY_W) + ba
+    if noise > 0 and rng is not None:
+        gyro += rng.normal(0, noise * 0.01, gyro.shape)
+        acc += rng.normal(0, noise, acc.shape)
+    return ImuChunk(
+        gyro=gyro.astype(np.float32), acc=acc.astype(np.float32),
+        dts=np.full(n, 1.0 / hz, np.float32),
+    )
+
+
 class SynthWorld:
     def __init__(self, n_landmarks=2000, seed=0, noise_px=0.4):
         rng = np.random.default_rng(seed)
@@ -38,8 +75,15 @@ class SynthWorld:
         self.rng = rng
 
     def pose(self, t: float) -> np.ndarray:
-        """Smooth forward+lateral trajectory with gentle yaw. Returns Tcw."""
-        pos = np.asarray([1.2 * t, 0.4 * np.sin(0.7 * t), 0.3 * t])
+        """Smooth forward+lateral trajectory with gentle yaw. Returns Tcw.
+
+        Has real acceleration excitation (~1.5 m/s^2) — without it the
+        visual-inertial scale is unobservable (s*dp and v*t collinear)."""
+        pos = np.asarray([
+            1.2 * t + 0.25 * np.sin(1.3 * t),
+            0.35 * np.sin(2.0 * t),
+            0.3 * t + 0.2 * (1.0 - np.cos(1.7 * t)),
+        ])
         yaw = 0.12 * np.sin(0.5 * t)
         pitch = 0.05 * np.sin(0.3 * t)
         R = np.asarray(
