@@ -1,1 +1,2 @@
 from eorb_slam_tpu.optim import robust, reprojection, pose_only, schur_ba  # noqa: F401
+from eorb_slam_tpu.optim import pose_graph  # noqa: F401

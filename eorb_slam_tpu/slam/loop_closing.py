@@ -1,0 +1,183 @@
+"""Loop closing: detection, Sim3 verification, essential-graph correction.
+
+TPU-native replacement for the reference's LoopClosing thread
+(src/LoopClosing.cc): NewDetectCommonRegions (:267) = BoW retrieval +
+Sim3Solver RANSAC + projection verification; CorrectLoop (:1062) = Sim3
+propagation + essential-graph optimization (src/Optimizer.cc:2873) + global
+BA (RunGlobalBundleAdjustment :2511).
+
+Host-side this is a plain function call in the mapping cadence (the
+reference's dedicated thread + GBA thread collapse into async-dispatched
+jitted kernels): retrieval is one matmul (retrieval/bow.py), geometric
+verification one vmapped Sim3 RANSAC (geometry/sim3_solver.py), correction
+one dense pose-graph GN (optim/pose_graph.py), and the final GBA the same
+Schur BA engine used everywhere else.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import lie, sim3_solver
+from ..ops import matching
+from ..optim import pose_graph
+from ..retrieval import bow
+from . import covisibility, local_mapping, map_state as ms
+
+
+class LoopInfo(NamedTuple):
+    detected: bool
+    query: int
+    matched: int
+    n_inliers: int
+    scale: float
+
+
+class LoopCloser:
+    """Keeps the BoW keyframe database and runs detection + correction.
+
+    min_score / consistency gates follow the reference's
+    NewDetectCommonRegions; the covisibility group of the query is excluded
+    from retrieval (src/KeyFrameDatabase.cc:612)."""
+
+    def __init__(self, cam_params, words_pm1, Kmax: int,
+                 min_inliers: int = 20, nn_ratio: float = 0.75,
+                 max_edges: int = 256):
+        self.cam = jnp.asarray(cam_params)
+        self.words = jnp.asarray(words_pm1)
+        self.db = bow.empty_database(Kmax, int(self.words.shape[0]))
+        self.min_inliers = int(min_inliers)
+        self.nn_ratio = float(nn_ratio)
+        self.max_edges = int(max_edges)
+        self._key = jax.random.PRNGKey(7)
+
+    def add_keyframe(self, m: ms.MapState, slot: int) -> None:
+        _, bw = bow.quantize(
+            m.kf_desc_pm1[slot], m.kf_feat_valid[slot], self.words
+        )
+        self.db = bow.add_keyframe(self.db, slot, bw)
+
+    # ------------------------------------------------------------- detection
+    def detect(self, m: ms.MapState, query: int):
+        """Returns (candidate_slot, score) or (None, 0)."""
+        _, bw = bow.quantize(
+            m.kf_desc_pm1[query], m.kf_feat_valid[query], self.words
+        )
+        exclude = covisibility.covisibility_mask(m, jnp.asarray(query))
+        exclude = exclude.at[query].set(True)
+        scores, idx = bow.detect_candidates(self.db, bw, exclude, top_k=3)
+        scores = np.asarray(scores)
+        idx = np.asarray(idx)
+        if not np.isfinite(scores[0]) or scores[0] <= 0:
+            return None, 0.0
+        return int(idx[0]), float(scores[0])
+
+    def verify(self, m: ms.MapState, query: int, cand: int):
+        """Descriptor-match the two KFs' landmark-bearing features and run
+        Sim3 RANSAC on the paired 3D points (reference src/LoopClosing.cc:
+        DetectCommonRegionsFromBoW + Sim3Solver::iterate)."""
+        dq = m.kf_desc_pm1[query]
+        dc = m.kf_desc_pm1[cand]
+        vq = m.kf_feat_valid[query] & (m.kf_feat_lm[query] >= 0)
+        vc = m.kf_feat_valid[cand] & (m.kf_feat_lm[cand] >= 0)
+        j, _ = matching.match_nnratio(dq, vq, dc, vc, nn_ratio=self.nn_ratio)
+        lm_q = m.kf_feat_lm[query]
+        lm_c = m.kf_feat_lm[cand][jnp.clip(j, 0)]
+        valid = vq & (j >= 0)
+        Xq = m.lm_pos[jnp.clip(lm_q, 0)]
+        Xc = m.lm_pos[jnp.clip(lm_c, 0)]
+        Tq, Tc = m.kf_T[query], m.kf_T[cand]
+        p1 = lie.se3_apply(Tq, Xq)   # landmark (as seen by query) in query cam
+        p2 = lie.se3_apply(Tc, Xc)   # matched landmark in candidate cam
+        self._key, sub = jax.random.split(self._key)
+        res = sim3_solver.sim3_ransac(
+            p1, p2, valid, sub,
+            px_threshold=jnp.full(p1.shape[0], 9.21, jnp.float32),
+            cam_params1=self.cam, cam_params2=self.cam,
+        )
+        return res, valid
+
+    # ------------------------------------------------------------ correction
+    def correct(self, m: ms.MapState, query: int, cand: int,
+                res: sim3_solver.Sim3RansacResult,
+                run_gba: bool = True):
+        """Build the essential graph, apply the loop constraint, optimize,
+        and propagate corrections to keyframes and landmarks."""
+        K = m.K
+        kf_valid = np.asarray(m.kf_valid)
+        kf_T = np.asarray(m.kf_T)
+
+        # vertices: current poses as Sim3 (s=1)
+        R0 = jnp.asarray(kf_T[:, :3, :3])
+        t0 = jnp.asarray(kf_T[:, :3, 3])
+        s0 = jnp.ones(K, jnp.float32)
+
+        # edges (host-assembled, fixed capacity): sequential spanning chain,
+        # strong covisibility edges, and the loop edge
+        C = np.asarray(covisibility.shared_counts(m))
+        ei, ej, ew = [], [], []
+        valid_slots = np.flatnonzero(kf_valid)
+        for a, b in zip(valid_slots[:-1], valid_slots[1:]):
+            ei.append(a); ej.append(b); ew.append(1.0)
+        strong = np.argwhere(np.triu(C, 1) >= 100)
+        for a, b in strong[: self.max_edges - len(ei) - 1]:
+            ei.append(a); ej.append(b); ew.append(1.0)
+        E = self.max_edges
+        edge_i = np.zeros(E, np.int32)
+        edge_j = np.zeros(E, np.int32)
+        edge_w = np.zeros(E, np.float32)
+        n = min(len(ei), E - 1)
+        edge_i[:n] = ei[:n]; edge_j[:n] = ej[:n]; edge_w[:n] = ew[:n]
+        # loop edge with the RANSAC-measured relative Sim3: S_cand<-query
+        edge_i[n] = query; edge_j[n] = cand; edge_w[n] = 1.0
+
+        eRi = R0[edge_i]; eti = t0[edge_i]; esi = s0[edge_i]
+        eRj = R0[edge_j]; etj = t0[edge_j]; esj = s0[edge_j]
+        eR, et, es = pose_graph.relative_sim3(eRi, eti, esi, eRj, etj, esj)
+        eR = eR.at[n].set(res.R)
+        et = et.at[n].set(res.t)
+        es = es.at[n].set(res.s)
+
+        fixed = np.zeros(K, bool)
+        fixed[cand] = True  # hold the loop KF (reference fixes pLoopKF)
+        g = pose_graph.PoseGraph(
+            R=R0, t=t0, s=s0,
+            kf_valid=jnp.asarray(kf_valid), fixed=jnp.asarray(fixed),
+            edge_i=jnp.asarray(edge_i), edge_j=jnp.asarray(edge_j),
+            edge_R=eR, edge_t=et, edge_s=es,
+            edge_w=jnp.asarray(edge_w),
+        )
+        g_opt = pose_graph.optimize_pose_graph(g, iters=15, chart="sim3")
+
+        lm_new = pose_graph.correct_landmarks(
+            m.lm_pos, jnp.clip(m.lm_first_kf, 0), m.lm_valid,
+            g.R, g.t, g.s, g_opt.R, g_opt.t, g_opt.s,
+        )
+        # Sim3 -> SE3: Tcw = [R | t/s] (reference OptimizeEssentialGraph
+        # final pose recovery, src/Optimizer.cc:3290-3305)
+        T_new = jax.vmap(lie.se3)(g_opt.R, g_opt.t / g_opt.s[:, None])
+        T_new = jnp.where(m.kf_valid[:, None, None], T_new, m.kf_T)
+        m = m._replace(kf_T=T_new, lm_pos=lm_new)
+
+        if run_gba:
+            m, _, _ = local_mapping.local_ba(
+                m, self.cam,
+                kf_free=m.kf_valid & ~jnp.asarray(fixed), iters=10,
+            )
+        return m
+
+    def detect_and_correct(self, m: ms.MapState, query: int,
+                           run_gba: bool = True):
+        cand, score = self.detect(m, query)
+        if cand is None:
+            return m, LoopInfo(False, query, -1, 0, 1.0)
+        res, _ = self.verify(m, query, cand)
+        n_inl = int(res.n_inliers)
+        if n_inl < self.min_inliers:
+            return m, LoopInfo(False, query, cand, n_inl, 1.0)
+        m = self.correct(m, query, cand, res, run_gba=run_gba)
+        return m, LoopInfo(True, query, cand, n_inl, float(res.s))
