@@ -1,0 +1,263 @@
+"""I/O layer tests: config parsing, dataset loaders, trajectory round-trip,
+native fast parser vs numpy. Fixture files are tiny synthetic slices
+mirroring the real formats (EuRoC csv, EV-ETHZ txt)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from eorb_slam_tpu.io import config, datasets, native, trajectory
+
+
+def _write(path, text):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(text)
+
+
+# ------------------------------------------------------------------ config
+
+YAML = """
+DS.name: "ev_ethz"
+DS.format: "ev_ethz"
+DS.Paths.root: "/data/ev_ethz"
+DS.Seq.names: ["shapes_6dof", "poster_6dof"]
+DS.Seq.target: 0
+DS.tsFactor: 1.0
+DS.Sensor.config: "mono_ev_imu"
+Camera.type: "PinHole"
+Camera.fx: 199.09
+Camera.fy: 198.99
+Camera.cx: 132.19
+Camera.cy: 110.71
+Camera.k1: -0.368
+Camera.k2: 0.150
+Camera.p1: -0.000133
+Camera.p2: 0.000167
+Camera.width: 240
+Camera.height: 180
+Camera.fps: 24.0
+IMU.Frequency: 1000.0
+IMU.NoiseGyro: 0.00018
+IMU.NoiseAcc: 0.0015
+ORBextractor.nFeatures: 800
+Event.data.l1ChunkSize: 3000
+Event.data.maxPixelDisp: 4.5
+Event.fts.maxNumPts: 250
+"""
+
+
+def test_load_settings(tmp_path):
+    p = tmp_path / "settings.yaml"
+    p.write_text(YAML)
+    s = config.load_settings(str(p))
+    assert s.sensor is config.SensorConfig.EVENT_IMU
+    assert s.sensor.is_event() and s.sensor.is_inertial()
+    assert not s.sensor.is_image()
+    assert s.sensor.is_monocular()
+    assert s.cam.model == "pinhole"
+    assert s.cam.fx == pytest.approx(199.09)
+    assert s.cam.dist[0] == pytest.approx(-0.368)
+    assert s.features.n_features == 800
+    assert s.event.l1_chunk_size == 3000
+    assert s.event.max_pixel_disp == pytest.approx(4.5)
+    assert s.event.n_points == 250
+    assert s.dataset.sequences == ("shapes_6dof", "poster_6dof")
+    assert s.dataset.ts_factor == 1.0
+    # untouched keys fall back with a missing-marker (missParams analog)
+    assert any(k.startswith("Viewer") for k in s.missing)
+
+
+def test_sensor_predicates():
+    for s in config.SensorConfig:
+        if s is config.SensorConfig.IDLE:
+            continue
+        assert isinstance(s.is_event(), bool)
+    assert config.SensorConfig.STEREO.is_stereo()
+    assert config.SensorConfig.RGBD.is_rgbd()
+    assert not config.SensorConfig.EVENT_ONLY.is_image()
+    assert config.sensor_from_string("Mono_EV_IM_IMU") is config.SensorConfig.EVENT_IMU_MONO
+
+
+def test_kb8_config(tmp_path):
+    p = tmp_path / "kb8.yaml"
+    p.write_text(
+        'DS.Sensor.config: "monocular"\nCamera.type: "KannalaBrandt8"\n'
+        "Camera.fx: 190.0\nCamera.fy: 190.0\nCamera.cx: 160.0\nCamera.cy: 120.0\n"
+        "Camera.k1: 0.003\nCamera.k2: 0.0007\nCamera.k3: -0.003\nCamera.k4: 0.0005\n"
+    )
+    s = config.load_settings(str(p))
+    assert s.cam.model == "kb8"
+    arr = s.cam.params_array()
+    assert arr[4] == pytest.approx(0.003)
+    assert arr.shape == (9,)
+
+
+# ------------------------------------------------------------------ native parser
+
+def test_native_parser_matches_numpy(tmp_path):
+    rng = np.random.default_rng(0)
+    ev = np.stack(
+        [
+            np.sort(rng.uniform(0, 2, 500)),
+            rng.integers(0, 240, 500),
+            rng.integers(0, 180, 500),
+            rng.integers(0, 2, 500),
+        ],
+        axis=1,
+    )
+    p = tmp_path / "events.txt"
+    with open(p, "w") as f:
+        for r in ev:
+            f.write(f"{r[0]:.9f} {int(r[1])} {int(r[2])} {int(r[3])}\n")
+    got = datasets.load_events_txt(str(p))
+    assert got.shape == (500, 4)
+    np.testing.assert_allclose(got, ev.astype(np.float32), rtol=0, atol=2e-6)
+    if native.get_lib() is not None:  # native path must agree bit-tightly
+        nat = native.parse_events(str(p))
+        np.testing.assert_allclose(nat, got, atol=0)
+
+
+def test_native_csv_header_skip(tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text(
+        "#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n"
+        "1403636579758555392,-0.1,0.2,0.03,9.1,0.2,-0.3\n"
+        "1403636579763555584,-0.11,0.21,0.031,9.2,0.21,-0.31\n"
+    )
+    arr = datasets.load_csv(str(p))
+    assert arr.shape == (2, 7)
+    assert arr[0, 0] == pytest.approx(1403636579758555392.0, rel=1e-15)
+    assert arr[1, 1] == pytest.approx(-0.11)
+
+
+# ------------------------------------------------------------------ loaders
+
+def _make_ev_ethz(root):
+    seq = os.path.join(root, "shapes_6dof")
+    _write(
+        os.path.join(seq, "events.txt"),
+        "0.01 10 20 1\n0.02 11 21 0\n0.03 12 22 1\n0.04 13 23 1\n",
+    )
+    _write(
+        os.path.join(seq, "imu.txt"),
+        "0.00 0.1 0.2 9.8 0.01 0.02 0.03\n0.02 0.1 0.2 9.8 0.01 0.02 0.03\n"
+        "0.04 0.1 0.2 9.8 0.01 0.02 0.03\n",
+    )
+    _write(
+        os.path.join(seq, "groundtruth.txt"),
+        "0.0 0 0 0 0 0 0 1\n0.05 0.1 0 0 0 0 0 1\n",
+    )
+    _write(os.path.join(seq, "images.txt"), "")
+    return seq
+
+
+def test_ev_ethz_loader(tmp_path):
+    _make_ev_ethz(str(tmp_path))
+    seq = datasets.load_ev_ethz(str(tmp_path), "shapes_6dof")
+    assert len(seq.events) == 4
+    # accel-first imu.txt normalized to (gyro, acc)
+    np.testing.assert_allclose(seq.imu.gyro[0], [0.01, 0.02, 0.03], atol=1e-6)
+    np.testing.assert_allclose(seq.imu.acc[0], [0.1, 0.2, 9.8], atol=1e-6)
+    assert seq.gt_pose.shape == (2, 7)
+
+    # chunk service + overlap rewind (EvTrackManager consume/inject protocol)
+    c1 = seq.events.next_chunk_count(3)
+    assert c1.shape == (3, 4)
+    seq.events.rewind(1)
+    c2 = seq.events.next_chunk_count(10)
+    assert c2.shape == (2, 4)
+    assert c2[0, 0] == np.float32(0.03)
+    assert seq.events.exhausted
+
+    # time-bounded chunks
+    seq2 = datasets.load_ev_ethz(str(tmp_path), "shapes_6dof")
+    c = seq2.events.next_chunk_until(0.025)
+    assert c.shape == (2, 4)
+
+    # imu chunk padding
+    ts, gyr, acc, valid = seq.imu.chunk(0.0, 0.05, max_n=8)
+    assert valid.sum() == 2  # (t0, t1] excludes the t=0 sample
+    assert gyr.shape == (8, 3)
+
+
+def test_event_rectification(tmp_path):
+    _make_ev_ethz(str(tmp_path))
+    rmap = np.zeros((180, 240, 2), np.float32)
+    rmap[..., 0] = np.arange(240)[None, :] + 0.5  # shift x by +0.5
+    rmap[..., 1] = np.arange(180)[:, None]
+    seq = datasets.load_ev_ethz(str(tmp_path), "shapes_6dof", rectify_map=rmap)
+    assert seq.events.events[0, 1] == np.float32(10.5)
+
+
+def test_euroc_loader(tmp_path):
+    seq_root = os.path.join(str(tmp_path), "MH_01", "mav0")
+    _write(
+        os.path.join(seq_root, "cam0", "data.csv"),
+        "#timestamp [ns],filename\n1000000000,0.png\n1050000000,1.png\n",
+    )
+    _write(
+        os.path.join(seq_root, "imu0", "data.csv"),
+        "#ts,wx,wy,wz,ax,ay,az\n1000000000,0.01,0.02,0.03,9.8,0.0,0.1\n"
+        "1005000000,0.01,0.02,0.03,9.8,0.0,0.1\n",
+    )
+    _write(
+        os.path.join(seq_root, "state_groundtruth_estimate0", "data.csv"),
+        "#ts,px,py,pz,qw,qx,qy,qz,...\n"
+        "1000000000,1.0,2.0,3.0,1.0,0.0,0.0,0.0,0,0,0\n",
+    )
+    seq = datasets.load_euroc(str(tmp_path), "MH_01")
+    assert seq.n_frames == 2
+    assert seq.image_ts[0] == pytest.approx(1.0)
+    assert seq.image_paths[0].endswith("cam0/data/0.png")
+    np.testing.assert_allclose(seq.imu.gyro[0], [0.01, 0.02, 0.03], atol=1e-6)
+    # GT quaternion reordered wxyz -> xyzw-last TUM convention
+    np.testing.assert_allclose(seq.gt_pose[0], [1, 2, 3, 0, 0, 0, 1], atol=1e-9)
+
+
+# ------------------------------------------------------------------ trajectory
+
+def test_tum_roundtrip(tmp_path):
+    from eorb_slam_tpu.geometry import lie
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    F = 12
+    Twc = np.tile(np.eye(4), (F, 1, 1))
+    for i in range(F):
+        Twc[i, :3, :3] = np.asarray(
+            lie.so3_exp(jnp.asarray(rng.normal(0, 0.3, 3), jnp.float32))
+        )
+        Twc[i, :3, 3] = rng.normal(0, 2, 3)
+    ts = np.arange(F) * 0.05
+
+    timer = trajectory.SmartTimer("tracking")
+    for _ in range(3):
+        timer.tic()
+        timer.toc()
+
+    p = tmp_path / "traj.txt"
+    trajectory.save_tum(str(p), ts, Twc, timers=(timer,))
+    text = p.read_text()
+    assert text.startswith("# tracking:")
+
+    rows = trajectory.load_tum(str(p))
+    assert rows.shape == (F, 8)
+    ts2, T2 = trajectory.tum_to_mats(rows)
+    np.testing.assert_allclose(ts2, ts, atol=1e-9)
+    np.testing.assert_allclose(T2, Twc, atol=1e-5)
+
+
+def test_frame_log_recover():
+    log = trajectory.FrameLog()
+    kf_Twc = np.tile(np.eye(4), (2, 1, 1))
+    kf_Twc[1, :3, 3] = [1.0, 0, 0]
+    Tcr = np.eye(4)
+    Tcr[:3, 3] = [0, 0.5, 0]  # frame is 0.5 behind its ref KF (in KF frame)
+    log.push(0.0, 0, np.eye(4))
+    log.push(0.1, 1, Tcr)
+    log.push(0.2, 1, np.eye(4), lost=True)
+    ts, T = log.recover(kf_Twc)
+    assert len(ts) == 2
+    np.testing.assert_allclose(T[1][:3, 3], [1.0, -0.5, 0.0], atol=1e-12)
