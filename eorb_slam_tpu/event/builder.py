@@ -1,0 +1,287 @@
+"""L1 event front-end: adaptive windowing + motion-compensated image (MCI)
+synthesis with batched candidate selection.
+
+TPU-native re-design of ``EvImBuilder`` (reference
+include/Event/EvImBuilder.h:47-230, src/Event/EvImBuilder.cpp:1300-1515):
+
+- the reference consumes ``l1ChunkSize`` raw events per step, Gaussian-splats
+  them (ev2im_gauss), KLT-tracks FAST corners between consecutive event
+  images, and resizes the next window so the median pixel displacement hits
+  ``maxPixelDisp`` (src/Event/EvImBuilder.cpp:197-230);
+- on window completion it spawns 3-4 THREADS, each building one MCI
+  candidate (L2-pose-warped / BA-pose-warped / plain histogram / SE2
+  contrast-maximized) and keeps the one with the best patchwise STD
+  (src/Event/EvImBuilder.cpp:1146-1247).
+
+Here every candidate is a fixed-shape jitted computation over the SAME
+padded event tensor — XLA's async dispatch replaces the fork-join threads,
+the splat is one differentiable kernel, and contrast maximization is jitted
+gradient ascent instead of Ceres (see event/contrast_max.py). The host keeps
+only scalar control state (cursor, adaptive chunk size, state machine).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eorb_slam_tpu.event import contrast_max, klt, tensorize
+from eorb_slam_tpu.ops import fast
+
+
+@dataclasses.dataclass
+class BuilderConfig:
+    """Event.* knobs (reference EvParams, include/Event/EventData.h:75-126;
+    defaults from Examples/Event/EvETHZ.yaml:184-211)."""
+
+    img_w: int = 240
+    img_h: int = 180
+    l1_chunk_size: int = 2000          # Event.data.l1ChunkSize
+    l1_num_loop: int = 4               # Event.data.l1NumLoop (L2 win = n*chunk)
+    min_chunk: int = 500
+    max_chunk: int = 12000
+    max_pixel_disp: float = 3.0        # Event.data.maxPixelDisp
+    min_ev_gen_rate: float = 1.0       # events/px/s idle gate (minEvGenRate)
+    sigma: float = 1.0                 # ev2im_gauss sigma
+    cm_iters: int = 40                 # contrast-max ascent iterations
+    max_window_events: int = 65536     # static capacity of the L2 window
+    n_klt_pts: int = 128               # FAST corners tracked per chunk
+    overlap: float = 0.5               # continuous-mode re-injection fraction
+
+
+class PoseImage(NamedTuple):
+    """Dispatch record to L2 (reference PoseImage,
+    include/Utils/MyDataTypes.h:85-127): reconst_stat 0 = tiny frame (KLT
+    continuity only), 1 = fully reconstructed MCI."""
+
+    img: np.ndarray            # (H,W) float32 in [0,1]
+    ts: float                  # window end timestamp
+    ts0: float                 # window start timestamp
+    reconst_stat: int
+    best_kind: str             # 'hist' | 'se2' | 'dpose'
+    se2_params: np.ndarray     # (3,) [omega, vx, vy] from contrast max
+    score: float               # winning patch-STD
+
+
+def _pad_events(ev: np.ndarray, cap: int):
+    """(n,4) -> fixed-cap (cap,4) + valid mask (host-side, cheap)."""
+    n = min(len(ev), cap)
+    out = np.zeros((cap, 4), np.float32)
+    valid = np.zeros(cap, bool)
+    out[:n] = ev[:n]
+    valid[:n] = True
+    return out, valid
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "sigma"))
+def _chunk_image(ev, valid, *, H, W, sigma):
+    img = tensorize.splat_gauss(ev[:, 1:3], valid, ev[:, 3], H, W, sigma=sigma)
+    return tensorize.normalize_to_image(img)
+
+
+# one jit builds ALL candidate MCIs + their scores from one padded window
+def _make_candidates(
+    ev: jnp.ndarray,        # (C,4) padded window events [ts,x,y,p]
+    valid: jnp.ndarray,     # (C,)
+    t0: jnp.ndarray,        # () window start ts
+    t1: jnp.ndarray,        # () window end ts
+    T0: jnp.ndarray,        # (4,4) Tcw prior at window start (L2 DPose)
+    T1: jnp.ndarray,        # (4,4) Tcw prior at window end
+    med_depth: jnp.ndarray, # () scalar median scene depth from L2
+    have_dpose: jnp.ndarray,  # () bool — is the (T0,T1,depth) prior usable
+    cam_params: jnp.ndarray,
+    H: int,
+    W: int,
+    sigma: float,
+    cm_iters: int,
+):
+    t_rel = (ev[:, 0] - t0) / jnp.maximum(t1 - t0, 1e-9)       # [0,1]
+    t_sec = ev[:, 0] - t0                                       # seconds
+    xy = ev[:, 1:3]
+    pol = ev[:, 3]
+
+    # candidate 0: plain Gaussian histogram (getEvHist)
+    img_h = tensorize.splat_gauss(xy, valid, pol, H, W, sigma=sigma)
+
+    # candidate 1: SE2 contrast maximization (getAff2DMCI): jitted ascent
+    params, c_after, c_before = contrast_max.maximize_rt2d(
+        xy, t_sec, valid, H, W, iters=cm_iters, sigma=sigma
+    )
+    center = jnp.asarray([W / 2.0, H / 2.0], xy.dtype)
+    xy_se2 = tensorize.warp_se2(xy, t_sec, params, center)
+    img_se2 = tensorize.splat_gauss(xy_se2, valid, pol, H, W, sigma=sigma)
+
+    # candidate 2: SE3 DPose warp with L2's median depth (getDPoseMCI)
+    xy_dp, z_dp = tensorize.warp_se3_depth(
+        xy, t_rel, T0, T1, cam_params, med_depth
+    )
+    v_dp = valid & (z_dp > 1e-3)
+    img_dp = tensorize.splat_gauss(xy_dp, v_dp, pol, H, W, sigma=sigma)
+
+    imgs = jnp.stack(
+        [
+            tensorize.normalize_to_image(img_h),
+            tensorize.normalize_to_image(img_se2),
+            tensorize.normalize_to_image(img_dp),
+        ]
+    )
+    scores = jax.vmap(tensorize.patch_std_mean)(imgs)
+    # DPose candidate only competes when the prior exists
+    scores = scores.at[2].set(jnp.where(have_dpose, scores[2], -jnp.inf))
+    best = jnp.argmax(scores)
+    return imgs, scores, best, params
+
+
+_make_candidates_jit = jax.jit(
+    _make_candidates, static_argnames=("H", "W", "sigma", "cm_iters")
+)
+
+
+class EventWindowBuilder:
+    """Host orchestrator for the L1 state machine (IDLE -> TRACKING).
+
+    Feed raw event arrays with :meth:`feed`; poll :meth:`step` which returns
+    a ``PoseImage`` whenever an L1 chunk (tiny frame) or a full L2 window
+    (MCI) completes, else ``None``.
+    """
+
+    def __init__(self, cfg: BuilderConfig, cam_params=None):
+        self.cfg = cfg
+        self.cam = (
+            cam_params
+            if cam_params is not None
+            else jnp.asarray([1.0, 1.0, cfg.img_w / 2.0, cfg.img_h / 2.0, 0, 0, 0, 0],
+                             jnp.float32)
+        )
+        self.buf = np.zeros((0, 4), np.float32)
+        self.chunk_size = cfg.l1_chunk_size
+        self.chunks_in_window: list[np.ndarray] = []
+        self.prev_img: Optional[jnp.ndarray] = None
+        self.prev_pts: Optional[jnp.ndarray] = None
+        self.prev_pts_valid: Optional[jnp.ndarray] = None
+        self.last_med_disp = float("nan")
+        # PoseDepthInfo analog: L2 posts (T0, T1, med_depth) back here
+        # (reference include/Utils/MyDataTypes.h:547-582)
+        self.pose_prior: Optional[tuple[np.ndarray, np.ndarray, float]] = None
+        self.stats = {"chunks": 0, "windows": 0, "idle": 0}
+
+    # ------------------------------------------------------------- input
+
+    def feed(self, events: np.ndarray) -> None:
+        if len(events):
+            self.buf = np.concatenate([self.buf, np.asarray(events, np.float32)])
+
+    def set_pose_prior(self, T0: np.ndarray, T1: np.ndarray, med_depth: float):
+        self.pose_prior = (np.asarray(T0), np.asarray(T1), float(med_depth))
+
+    # ------------------------------------------------------------- control
+
+    def _adapt_chunk_size(self, med_disp: float) -> None:
+        """calcNewL1ChunkSize (reference src/Event/EvImBuilder.cpp:197-230):
+        scale the window so median optical flow hits maxPixelDisp."""
+        if not np.isfinite(med_disp) or med_disp <= 1e-3:
+            return
+        ratio = self.cfg.max_pixel_disp / med_disp
+        ratio = float(np.clip(ratio, 0.5, 2.0))  # damped feedback
+        self.chunk_size = int(
+            np.clip(self.chunk_size * ratio, self.cfg.min_chunk, self.cfg.max_chunk)
+        )
+
+    def step(self) -> Optional[PoseImage]:
+        cfg = self.cfg
+        if len(self.buf) < self.chunk_size:
+            return None
+        chunk = self.buf[: self.chunk_size]
+        self.buf = self.buf[self.chunk_size :]
+        self.stats["chunks"] += 1
+
+        # gen-rate gate (reference src/Event/EvImBuilder.cpp:1327-1342)
+        t_span = float(chunk[-1, 0] - chunk[0, 0])
+        rate = len(chunk) / max(t_span, 1e-9) / (cfg.img_w * cfg.img_h)
+        if rate < cfg.min_ev_gen_rate:
+            self.stats["idle"] += 1
+            self.chunks_in_window.clear()
+            self.prev_img = None
+            return None
+
+        ev_pad, v_pad = _pad_events(chunk, cfg.max_chunk)
+        img = _chunk_image(
+            jnp.asarray(ev_pad), jnp.asarray(v_pad),
+            H=cfg.img_h, W=cfg.img_w, sigma=cfg.sigma,
+        )
+
+        # KLT continuity between consecutive chunk images -> median pixel
+        # displacement drives the adaptive window (step()/resolveEvWinSize)
+        if self.prev_img is not None and self.prev_pts is not None:
+            res = klt.track(
+                self.prev_img, img, self.prev_pts, self.prev_pts_valid,
+                win=9, levels=2, iters=6, min_ncc=0.3,
+            )
+            med = float(
+                klt.median_displacement(res, self.prev_pts)
+            )
+            self.last_med_disp = med
+            self._adapt_chunk_size(med)
+
+        # refresh reference corners on the new chunk image
+        xy, resp, vmask = fast.detect_grid(
+            img, threshold=0.08, min_threshold=0.03, cell=24,
+            per_cell=2, max_kp=cfg.n_klt_pts, border=6,
+        )
+        self.prev_img = img
+        self.prev_pts = xy
+        self.prev_pts_valid = vmask
+
+        self.chunks_in_window.append(chunk)
+        if len(self.chunks_in_window) < cfg.l1_num_loop:
+            # tiny frame: KLT continuity only, not full tracking (reference
+            # PoseImage::mReconstStat == 0, src/Event/EvAsynchTracker.cpp:1438)
+            return PoseImage(
+                img=np.asarray(img), ts=float(chunk[-1, 0]),
+                ts0=float(chunk[0, 0]), reconst_stat=0, best_kind="hist",
+                se2_params=np.zeros(3, np.float32), score=0.0,
+            )
+        return self._finish_window()
+
+    def _finish_window(self) -> PoseImage:
+        cfg = self.cfg
+        window = np.concatenate(self.chunks_in_window)
+        t0, t1 = float(window[0, 0]), float(window[-1, 0])
+        ev_pad, v_pad = _pad_events(window, cfg.max_window_events)
+
+        if self.pose_prior is not None:
+            T0, T1, depth = self.pose_prior
+            have_dpose = True
+        else:
+            T0 = T1 = np.eye(4, dtype=np.float32)
+            depth, have_dpose = 1.0, False
+
+        imgs, scores, best, se2 = _make_candidates_jit(
+            jnp.asarray(ev_pad), jnp.asarray(v_pad),
+            jnp.asarray(t0, jnp.float32), jnp.asarray(t1, jnp.float32),
+            jnp.asarray(T0, jnp.float32), jnp.asarray(T1, jnp.float32),
+            jnp.asarray(depth, jnp.float32), jnp.asarray(have_dpose),
+            self.cam, H=cfg.img_h, W=cfg.img_w, sigma=cfg.sigma,
+            cm_iters=cfg.cm_iters,
+        )
+        best_i = int(best)
+        kind = ["hist", "se2", "dpose"][best_i]
+        self.stats["windows"] += 1
+
+        # continuous mode: re-inject the overlap tail (reference
+        # injectEventsBegin, src/Event/EvImBuilder.cpp:1473-1477)
+        n_keep = int(len(window) * cfg.overlap)
+        if n_keep > 0:
+            self.buf = np.concatenate([window[-n_keep:], self.buf])
+        self.chunks_in_window.clear()
+
+        return PoseImage(
+            img=np.asarray(imgs[best_i]), ts=t1, ts0=t0, reconst_stat=1,
+            best_kind=kind, se2_params=np.asarray(se2),
+            score=float(scores[best_i]),
+        )

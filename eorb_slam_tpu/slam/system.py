@@ -21,12 +21,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from eorb_slam_tpu.geometry import camera as cam_mod, lie, twoview
-from eorb_slam_tpu.ops import frontend
-from eorb_slam_tpu.slam import local_mapping, map_state, tracking
+from eorb_slam_tpu.ops import frontend, matching
+from eorb_slam_tpu.slam import atlas as atlas_mod
+from eorb_slam_tpu.slam import local_mapping, map_state, relocalization, tracking
 
 NOT_INITIALIZED = 0
 OK = 1
 LOST = 2
+RECENTLY_LOST = 3
 
 
 @dataclasses.dataclass
@@ -62,7 +64,7 @@ class MonoSlam:
     ):
         self.cam = cam_params
         self.img_w, self.img_h = img_w, img_h
-        self.map = map_state.empty_map(K=K, M=M, N=N, P=P)
+        self.atlas = atlas_mod.Atlas(K=K, M=M, N=N, P=P)
         self.state = NOT_INITIALIZED
         self.n_kf = 0
         self.local_window = local_window
@@ -79,6 +81,25 @@ class MonoSlam:
         self.n_inliers_ref = 0
         self.trajectory: list[tuple[float, np.ndarray]] = []
         self.stats = {"kf": 0, "lm": 0, "frames": 0, "lost": 0}
+        # last-frame exposure for synch/joint modes (reference keeps the
+        # paired event frame reachable via Frame::mpEvFrame)
+        self.last_frame: Optional[FrameInput] = None
+        self.last_track = None
+        # failure recovery (reference Tracking RECENTLY_LOST grace +
+        # CreateMapInAtlas, src/Tracking.cc:898-970,:1206-1224)
+        self.lost_frames = 0
+        self.lost_grace = 5
+        self._traj_frozen: list[tuple[float, np.ndarray]] = []
+
+    # ------------------------------------------------------------- map/atlas
+
+    @property
+    def map(self) -> map_state.MapState:
+        return self.atlas.current
+
+    @map.setter
+    def map(self, m: map_state.MapState) -> None:
+        self.atlas.current = m
 
     # ---------------------------------------------------------------- input
 
@@ -188,6 +209,7 @@ class MonoSlam:
     # ---------------------------------------------------------------- track
 
     def _track(self, f: FrameInput):
+        self.last_frame = f
         T_pred = self.velocity @ self.T_last
         res = tracking.track_frame(
             self.map, self.cam, f.xy_ud, f.octave, f.desc_pm1, f.valid,
@@ -205,11 +227,11 @@ class MonoSlam:
             )
             n_inl = int(res.n_inliers)
             if n_inl < self.min_track_inliers:
-                self.state = LOST
-                self.stats["lost"] += 1
-                self._log_pose(f.ts, None)
-                return {"state": self.state, "n_inliers": n_inl}
+                return self._handle_lost(f, n_inl)
 
+        self.last_track = res
+        self.lost_frames = 0
+        self.state = OK
         Tcw = res.Tcw
         self.velocity = Tcw @ lie.se3_inv(self.T_last)
         self.T_last = Tcw
@@ -226,6 +248,78 @@ class MonoSlam:
             self._insert_keyframe(f, res)
             out.update(kf=True, n_lm=self.stats["lm"])
         return out
+
+    # ------------------------------------------------------------- recovery
+
+    def _handle_lost(self, f: FrameInput, n_inl: int):
+        """Graded recovery (reference src/Tracking.cc:898-970): RECENTLY_LOST
+        attempts relocalization for a grace window, then the Atlas either
+        resets a tiny active map or stores it and starts fresh
+        (CreateMapInAtlas, src/Tracking.cc:1206-1224)."""
+        self.stats["lost"] += 1
+        self.lost_frames += 1
+
+        T_rel, n_rel = self._relocalize(f)
+        if T_rel is not None:
+            self.state = OK
+            self.lost_frames = 0
+            self.velocity = jnp.eye(4)
+            self.T_last = T_rel
+            self._log_pose(f.ts, T_rel)
+            return {"state": self.state, "n_inliers": n_rel, "reloc": True}
+
+        if self.lost_frames <= self.lost_grace:
+            self.state = RECENTLY_LOST
+            self._log_pose(f.ts, None)
+            return {"state": self.state, "n_inliers": n_inl}
+
+        # irrecoverable: multi-map recovery
+        self._freeze_trajectory()
+        if self.n_kf < 10:
+            self.atlas.reset_active()
+        else:
+            self.atlas.create_new_map()
+        self.state = NOT_INITIALIZED
+        self.n_kf = 0
+        self.lost_frames = 0
+        self._init_frame = f
+        self.T_last = jnp.eye(4)
+        self.velocity = jnp.eye(4)
+        self.n_inliers_ref = 0
+        return {"state": self.state, "n_inliers": n_inl, "new_map": True}
+
+    def _relocalize(self, f: FrameInput):
+        """Global descriptor match against all landmarks + vmapped PnP RANSAC
+        (reference Relocalization, src/Tracking.cc:2641-2730 via MLPnP)."""
+        m = self.map
+        if int(np.asarray(m.lm_valid).sum()) < 30:
+            return None, 0
+        feat_lm, dist = matching.match_nnratio(
+            f.desc_pm1, f.valid, m.lm_desc_pm1, m.lm_valid,
+            pair_mask=None, max_dist=matching.TH_LOW, nn_ratio=0.75,
+            mutual=True,
+        )
+        matched = feat_lm >= 0
+        if int(np.asarray(matched).sum()) < max(self.min_track_inliers, 12):
+            return None, 0
+        pts = m.lm_pos[jnp.where(matched, feat_lm, 0)]
+        self.key, k = jax.random.split(self.key)
+        res = relocalization.pnp_ransac(
+            self.cam, pts, f.xy_ud, matched, k,
+            min_inliers=max(self.min_track_inliers, 12),
+        )
+        if not bool(res.ok):
+            return None, int(res.n_inliers)
+        return res.Tcw, int(res.n_inliers)
+
+    def _freeze_trajectory(self):
+        """Resolve all relative trajectory entries against the CURRENT map's
+        keyframes before switching maps (they reference its slots)."""
+        kf_T = np.asarray(self.map.kf_T)
+        for ts, T_rel, ref in self.trajectory:
+            if T_rel is not None:
+                self._traj_frozen.append((ts, np.linalg.inv(T_rel @ kf_T[ref])))
+        self.trajectory = []
 
     def _insert_keyframe(self, f: FrameInput, res: tracking.TrackResult):
         slot = jnp.asarray(self.n_kf)
@@ -287,9 +381,11 @@ class MonoSlam:
         self.trajectory = out
 
     def trajectory_twc(self):
-        """[(ts, Twc 4x4)] for evaluation (camera-to-world)."""
+        """[(ts, Twc 4x4)] for evaluation (camera-to-world). Entries from
+        earlier Atlas maps were frozen at map-switch time; current-map
+        entries recompose against the latest keyframe poses."""
         kf_T = np.asarray(self.map.kf_T)
-        out = []
+        out = list(self._traj_frozen)
         for ts, T_rel, ref in self.trajectory:
             if T_rel is not None:
                 Tcw = T_rel @ kf_T[ref]

@@ -1,0 +1,59 @@
+"""EVENT_MONO synchronized mode: image clock + synch MCIs + twin maps +
+joint pose optimization (reference §3.4 call stack, System::TrackEvMono)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from eorb_slam_tpu.evals import ate
+from eorb_slam_tpu.event import tensorize
+from eorb_slam_tpu.slam import ev_image_system
+from tests.test_event_slam import CAM, EventWorld, H, W, FX, FY, CX, CY, make_cfg
+
+
+def render_frame(world: EventWorld, t: float) -> np.ndarray:
+    """Intensity frame from the same scene: Gaussian blobs at the current
+    point projections (a DAVIS' APS view of the event world)."""
+    Tcw = world.pose(t)
+    pc = (Tcw[:3, :3] @ world.pts.T).T + Tcw[:3, 3]
+    uv = np.stack(
+        [FX * pc[:, 0] / pc[:, 2] + CX, FY * pc[:, 1] / pc[:, 2] + CY], axis=1
+    ).astype(np.float32)
+    ok = (pc[:, 2] > 0.1) & (uv[:, 0] >= 0) & (uv[:, 0] < W) \
+        & (uv[:, 1] >= 0) & (uv[:, 1] < H)
+    img = tensorize.splat_gauss(
+        jnp.asarray(uv), jnp.asarray(ok), jnp.ones(len(uv)), H, W, sigma=1.2
+    )
+    return np.asarray(tensorize.normalize_to_image(img)) * 255.0
+
+
+def test_ev_mono_joint_tracking():
+    world = EventWorld(n_points=260, seed=5)
+    slam = ev_image_system.EvImageSlam(
+        CAM, make_cfg(), img_w=W, img_h=H,
+        max_kp=384, ev_max_kp=256, synch_window_s=0.2,
+        K=24, M=2048, min_init_matches=30, min_track_inliers=8,
+    )
+    fps, t_end = 12.0, 2.4
+    frame_ts = np.arange(0.0, t_end, 1.0 / fps)
+    ev = world.events(0.0, t_end, 70000)
+
+    last = 0.0
+    for t in frame_ts:
+        chunk = ev[(ev[:, 0] > last) & (ev[:, 0] <= t)]
+        img = render_frame(world, float(t))
+        slam.track_ev_mono(chunk, img, float(t))
+        last = t
+
+    s = slam.stats
+    assert s["im"]["kf"] >= 2, s          # image map initialized
+    assert s["ev"]["kf"] >= 2, s          # event twin map initialized
+    assert s["joint_frames"] >= 3, s      # joint pose opts actually ran
+
+    traj = slam.trajectory_twc()
+    gt = [(t, np.linalg.inv(world.pose(t))) for t, _ in traj]
+    rmse, n, scale, _, _ = ate.ate_rmse(traj, gt, with_scale=True, max_dt=0.05)
+    assert n >= 5
+    span = traj[-1][0] - traj[0][0]
+    assert rmse < max(0.12, 0.2 * 0.52 * span), (rmse, span, s)
