@@ -68,14 +68,32 @@ class PoseImage(NamedTuple):
     score: float               # winning patch-STD
 
 
-def _pad_events(ev: np.ndarray, cap: int):
-    """(n,4) -> fixed-cap (cap,4) + valid mask (host-side, cheap)."""
-    n = min(len(ev), cap)
+def _pad_events(ev: np.ndarray, cap: int, t0: Optional[float] = None):
+    """(n,4) float64 -> fixed-cap (cap,4) float32 + valid mask (host-side).
+
+    Timestamps are rebased to ``t0`` (default: first kept event) BEFORE the
+    float32 cast: raw dataset timestamps can be O(1e5) s (or epoch-scale),
+    where float32 quantizes to tens of microseconds and would corrupt the
+    per-event relative times inside millisecond-scale MCI windows (the
+    reference keeps ``EventData::ts`` double for the same reason,
+    include/Event/EventData.h:36-58).
+
+    When the window exceeds ``cap`` the MOST RECENT events are kept — the
+    newest events are the ones closest to the dispatch timestamp and the
+    tail is what downstream pose/KLT continuity needs. Returns
+    (padded, valid, n_dropped).
+    """
+    n_drop = max(len(ev) - cap, 0)
+    ev = ev[n_drop:]
+    n = len(ev)
+    if t0 is None:
+        t0 = float(ev[0, 0]) if n else 0.0
     out = np.zeros((cap, 4), np.float32)
     valid = np.zeros(cap, bool)
-    out[:n] = ev[:n]
+    out[:n, 0] = (ev[:, 0] - t0).astype(np.float32)
+    out[:n, 1:] = ev[:, 1:].astype(np.float32)
     valid[:n] = True
-    return out, valid
+    return out, valid, n_drop
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "sigma"))
@@ -86,10 +104,9 @@ def _chunk_image(ev, valid, *, H, W, sigma):
 
 # one jit builds ALL candidate MCIs + their scores from one padded window
 def _make_candidates(
-    ev: jnp.ndarray,        # (C,4) padded window events [ts,x,y,p]
+    ev: jnp.ndarray,        # (C,4) padded window events [t-t0, x, y, p]
     valid: jnp.ndarray,     # (C,)
-    t0: jnp.ndarray,        # () window start ts
-    t1: jnp.ndarray,        # () window end ts
+    dt: jnp.ndarray,        # () window duration t1-t0 (seconds)
     T0: jnp.ndarray,        # (4,4) Tcw prior at window start (L2 DPose)
     T1: jnp.ndarray,        # (4,4) Tcw prior at window end
     med_depth: jnp.ndarray, # () scalar median scene depth from L2
@@ -100,8 +117,10 @@ def _make_candidates(
     sigma: float,
     cm_iters: int,
 ):
-    t_rel = (ev[:, 0] - t0) / jnp.maximum(t1 - t0, 1e-9)       # [0,1]
-    t_sec = ev[:, 0] - t0                                       # seconds
+    # event times arrive REBASED to the window start (float64 ts - t0 done
+    # host-side, see _pad_events) so float32 precision is ~ns here
+    t_sec = ev[:, 0]                                            # seconds
+    t_rel = t_sec / jnp.maximum(dt, 1e-9)                       # [0,1]
     xy = ev[:, 1:3]
     pol = ev[:, 3]
 
@@ -123,14 +142,13 @@ def _make_candidates(
     v_dp = valid & (z_dp > 1e-3)
     img_dp = tensorize.splat_gauss(xy_dp, v_dp, pol, H, W, sigma=sigma)
 
-    imgs = jnp.stack(
-        [
-            tensorize.normalize_to_image(img_h),
-            tensorize.normalize_to_image(img_se2),
-            tensorize.normalize_to_image(img_dp),
-        ]
-    )
-    scores = jax.vmap(tensorize.patch_std_mean)(imgs)
+    # score the RAW accumulators: all candidates carry the same event mass,
+    # so patch-STD is directly comparable — min-max normalizing first would
+    # penalize exactly the sharpest candidate (its peak is tallest, so
+    # normalization compresses the rest of its dynamic range)
+    imgs_raw = jnp.stack([img_h, img_se2, img_dp])
+    scores = jax.vmap(tensorize.patch_std_mean)(imgs_raw)
+    imgs = jax.vmap(tensorize.normalize_to_image)(imgs_raw)
     # DPose candidate only competes when the prior exists
     scores = scores.at[2].set(jnp.where(have_dpose, scores[2], -jnp.inf))
     best = jnp.argmax(scores)
@@ -158,7 +176,9 @@ class EventWindowBuilder:
             else jnp.asarray([1.0, 1.0, cfg.img_w / 2.0, cfg.img_h / 2.0, 0, 0, 0, 0],
                              jnp.float32)
         )
-        self.buf = np.zeros((0, 4), np.float32)
+        # host event buffer stays float64: raw timestamps must not be
+        # quantized before window rebasing (see _pad_events)
+        self.buf = np.zeros((0, 4), np.float64)
         self.chunk_size = cfg.l1_chunk_size
         self.chunks_in_window: list[np.ndarray] = []
         self.prev_img: Optional[jnp.ndarray] = None
@@ -168,13 +188,13 @@ class EventWindowBuilder:
         # PoseDepthInfo analog: L2 posts (T0, T1, med_depth) back here
         # (reference include/Utils/MyDataTypes.h:547-582)
         self.pose_prior: Optional[tuple[np.ndarray, np.ndarray, float]] = None
-        self.stats = {"chunks": 0, "windows": 0, "idle": 0}
+        self.stats = {"chunks": 0, "windows": 0, "idle": 0, "ev_truncated": 0}
 
     # ------------------------------------------------------------- input
 
     def feed(self, events: np.ndarray) -> None:
         if len(events):
-            self.buf = np.concatenate([self.buf, np.asarray(events, np.float32)])
+            self.buf = np.concatenate([self.buf, np.asarray(events, np.float64)])
 
     def set_pose_prior(self, T0: np.ndarray, T1: np.ndarray, med_depth: float):
         self.pose_prior = (np.asarray(T0), np.asarray(T1), float(med_depth))
@@ -209,7 +229,7 @@ class EventWindowBuilder:
             self.prev_img = None
             return None
 
-        ev_pad, v_pad = _pad_events(chunk, cfg.max_chunk)
+        ev_pad, v_pad, _ = _pad_events(chunk, cfg.max_chunk)
         img = _chunk_image(
             jnp.asarray(ev_pad), jnp.asarray(v_pad),
             H=cfg.img_h, W=cfg.img_w, sigma=cfg.sigma,
@@ -248,11 +268,18 @@ class EventWindowBuilder:
             )
         return self._finish_window()
 
-    def _finish_window(self) -> PoseImage:
+    def build_mci(self, window: np.ndarray) -> PoseImage:
+        """Candidate synthesis + selection over one event window. Pure w.r.t.
+        builder buffers — usable both by the window state machine and by the
+        synch mode (reference getSynchMCI, src/Event/EvImBuilder.cpp:1249,
+        which builds the MCI from the passed events without re-injection)."""
         cfg = self.cfg
-        window = np.concatenate(self.chunks_in_window)
         t0, t1 = float(window[0, 0]), float(window[-1, 0])
-        ev_pad, v_pad = _pad_events(window, cfg.max_window_events)
+        ev_pad, v_pad, n_drop = _pad_events(window, cfg.max_window_events)
+        if n_drop:
+            # padded window rebases to the first KEPT event; keep ts0 honest
+            t0 = float(window[n_drop, 0])
+            self.stats["ev_truncated"] += n_drop
 
         if self.pose_prior is not None:
             T0, T1, depth = self.pose_prior
@@ -263,7 +290,7 @@ class EventWindowBuilder:
 
         imgs, scores, best, se2 = _make_candidates_jit(
             jnp.asarray(ev_pad), jnp.asarray(v_pad),
-            jnp.asarray(t0, jnp.float32), jnp.asarray(t1, jnp.float32),
+            jnp.asarray(t1 - t0, jnp.float32),
             jnp.asarray(T0, jnp.float32), jnp.asarray(T1, jnp.float32),
             jnp.asarray(depth, jnp.float32), jnp.asarray(have_dpose),
             self.cam, H=cfg.img_h, W=cfg.img_w, sigma=cfg.sigma,
@@ -272,16 +299,20 @@ class EventWindowBuilder:
         best_i = int(best)
         kind = ["hist", "se2", "dpose"][best_i]
         self.stats["windows"] += 1
-
-        # continuous mode: re-inject the overlap tail (reference
-        # injectEventsBegin, src/Event/EvImBuilder.cpp:1473-1477)
-        n_keep = int(len(window) * cfg.overlap)
-        if n_keep > 0:
-            self.buf = np.concatenate([window[-n_keep:], self.buf])
-        self.chunks_in_window.clear()
-
         return PoseImage(
             img=np.asarray(imgs[best_i]), ts=t1, ts0=t0, reconst_stat=1,
             best_kind=kind, se2_params=np.asarray(se2),
             score=float(scores[best_i]),
         )
+
+    def _finish_window(self) -> PoseImage:
+        window = np.concatenate(self.chunks_in_window)
+        pi = self.build_mci(window)
+
+        # continuous mode: re-inject the overlap tail (reference
+        # injectEventsBegin, src/Event/EvImBuilder.cpp:1473-1477)
+        n_keep = int(len(window) * self.cfg.overlap)
+        if n_keep > 0:
+            self.buf = np.concatenate([window[-n_keep:], self.buf])
+        self.chunks_in_window.clear()
+        return pi

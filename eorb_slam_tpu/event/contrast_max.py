@@ -29,7 +29,7 @@ def _contrast(params, xy, t_rel, valid, pol, center, H, W, sigma):
     return jnp.mean((img - mu) ** 2)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "iters"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "iters", "sigma"))
 def maximize_rt2d(
     xy: jnp.ndarray,       # (N,2) event pixel coords
     t_rel: jnp.ndarray,    # (N,) relative time in the window (seconds)

@@ -26,7 +26,32 @@ import jax.numpy as jnp
 from eorb_slam_tpu.geometry import lie
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "stencil", "use_polarity"))
+def _splat_gauss_separable(
+    xy: jnp.ndarray, w_ev: jnp.ndarray, H: int, W: int,
+    sigma: float, trunc: float,
+) -> jnp.ndarray:
+    """Separable-Gaussian splat as two weight matrices + ONE matmul.
+
+    G(dx,dy) = gx(dx)·gy(dy), so the accumulated image is exactly
+    ``A^T B`` with A[n,h] = w_n·gy(h−y_n), B[n,w] = gx(w−x_n) — a single
+    (H,N)×(N,W) contraction that runs on the MXU instead of N·S² serialized
+    scatter-adds (scatter is the one memory op TPUs are bad at). Out-of-image
+    events contribute nothing because their row/col windows are empty.
+    """
+    inv2s2 = 1.0 / (2.0 * sigma * sigma)
+    dy = jnp.arange(H, dtype=xy.dtype)[None, :] - xy[:, 1:2]      # (N,H)
+    dx = jnp.arange(W, dtype=xy.dtype)[None, :] - xy[:, 0:1]      # (N,W)
+    A = jnp.exp(-dy * dy * inv2s2) * (jnp.abs(dy) <= trunc)
+    A = A * w_ev[:, None]
+    B = jnp.exp(-dx * dx * inv2s2) * (jnp.abs(dx) <= trunc)
+    return jax.lax.dot_general(
+        A, B, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(xy.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "sigma", "stencil", "use_polarity")
+)
 def splat_gauss(
     xy: jnp.ndarray,        # (N,2) continuous pixel coords of the events
     valid: jnp.ndarray,     # (N,) bool
@@ -37,30 +62,23 @@ def splat_gauss(
     stencil: int = 5,
     use_polarity: bool = False,
 ) -> jnp.ndarray:
-    """Accumulate each event as a truncated 2D Gaussian (3-sigma window).
+    """Accumulate each event as a truncated 2D Gaussian.
 
     Equivalent of ``EvImConverter::ev2im_gauss`` (reference
-    src/Event/EventConversion.cc:215-269). Returns a float image (H,W).
+    src/Event/EventConversion.cc:215-269), computed as a separable rank-1
+    accumulation (see ``_splat_gauss_separable``); on TPU backends a Pallas
+    kernel fuses the weight-matrix construction with the contraction so A/B
+    never round-trip through HBM (ops/pallas_splat.py). Returns (H,W) float.
+    Differentiable w.r.t. ``xy`` (contrast maximization backpropagates
+    through the splat).
     """
-    n = xy.shape[0]
-    base = jnp.floor(xy).astype(jnp.int32)                    # (N,2)
-    frac = xy - base                                          # (N,2)
-    half = stencil // 2
     w_ev = jnp.where(use_polarity, pol, 1.0) * valid.astype(xy.dtype)
+    trunc = stencil / 2.0  # matches the reference's truncated 3-sigma window
+    from eorb_slam_tpu.ops import pallas_splat
 
-    img = jnp.zeros((H, W), xy.dtype)
-    inv2s2 = 1.0 / (2.0 * sigma * sigma)
-    # static S x S stencil: each offset is one dense masked scatter-add
-    for dy in range(-half, half + 1):
-        for dx in range(-half, half + 1):
-            px = base[:, 0] + dx
-            py = base[:, 1] + dy
-            d2 = (dx - frac[:, 0]) ** 2 + (dy - frac[:, 1]) ** 2
-            g = jnp.exp(-d2 * inv2s2) * w_ev
-            inb = (px >= 0) & (px < W) & (py >= 0) & (py < H)
-            g = jnp.where(inb, g, 0.0)
-            img = img.at[jnp.clip(py, 0, H - 1), jnp.clip(px, 0, W - 1)].add(g)
-    return img
+    if pallas_splat.use_pallas():
+        return pallas_splat.splat(xy, w_ev, H=H, W=W, sigma=sigma, trunc=trunc)
+    return _splat_gauss_separable(xy, w_ev, H, W, sigma, trunc)
 
 
 def normalize_to_image(acc: jnp.ndarray) -> jnp.ndarray:

@@ -38,6 +38,9 @@ def _gn_step(cam_params, Tcw, pts_w, uv_obs, inv_sigma, weight_mask, use_huber):
     # Levenberg damping for safety on degenerate geometry
     H = H + 1e-6 * jnp.eye(6, dtype=H.dtype) * jnp.maximum(jnp.trace(H) / 6.0, 1.0)
     dx = linalg.solve_spd_jacobi(H, b)
+    # degenerate systems (all weights zero / rank-deficient geometry) must
+    # not emit NaN steps — the pose simply stays put
+    dx = jnp.where(jnp.isfinite(dx).all(), dx, jnp.zeros_like(dx))
     return dx, chi2
 
 

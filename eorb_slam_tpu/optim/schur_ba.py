@@ -262,9 +262,19 @@ def _lm_loop(p: BAProblem, iters: int, lam0: float, axis_name=None) -> BAResult:
     dtype = p.kf_T.dtype
     use_huber = jnp.asarray(True)
 
+    # cost accounting uses the STATIC validity (no cheirality gate): a step
+    # that pushes points behind the camera must read as a huge cost, not as
+    # "fewer residuals". Otherwise a divergent (even NaN) step that kills
+    # every observation scores cost 0 and gets accepted.
+    valid_static = p.obs_valid & p.lm_valid[:, None] & p.kf_valid[p.obs_kf]
+
     def total_cost(kf_T, lm_pos):
-        _, _, chi2, valid, _ = _residuals_and_weights(p, kf_T, lm_pos, use_huber)
-        c = _robust_cost(chi2, valid, use_huber)
+        _, _, chi2, _, pc = _residuals_and_weights(p, kf_T, lm_pos, use_huber)
+        c = jnp.where(
+            use_huber, robust.huber_cost(chi2, robust.CHI2_MONO), chi2
+        )
+        c = jnp.where(pc[..., 2] > 0.0, c, 1e6)  # cheirality penalty
+        c = jnp.sum(c * valid_static)            # NaN chi2 -> NaN cost -> reject
         if axis_name is not None:
             c = jax.lax.psum(c, axis_name)
         return c

@@ -123,10 +123,17 @@ def _inertial_system(p: VIBAProblem, kf_T, kf_vel, kf_bg, kf_ba):
 
 def _vi_cost(p: VIBAProblem, kf_T, kf_vel, kf_bg, kf_ba, lm_pos):
     use_huber = jnp.asarray(True)
-    _, _, chi2, valid, _ = schur_ba._residuals_and_weights(
+    _, _, chi2, _, pc = schur_ba._residuals_and_weights(
         p.visual, kf_T, lm_pos, use_huber
     )
-    c_vis = schur_ba._robust_cost(chi2, valid, use_huber)
+    # cheirality violations score a large penalty under the STATIC validity
+    # instead of vanishing from the sum (see schur_ba._lm_loop: a divergent
+    # step that kills every observation must not read as cost 0)
+    pv = p.visual
+    valid_static = pv.obs_valid & pv.lm_valid[:, None] & pv.kf_valid[pv.obs_kf]
+    c = robust.huber_cost(chi2, robust.CHI2_MONO)
+    c = jnp.where(pc[..., 2] > 0.0, c, 1e6)
+    c_vis = jnp.sum(c * valid_static)
     _, _, c_in = _inertial_system(p, kf_T, kf_vel, kf_bg, kf_ba)
     return c_vis + c_in
 

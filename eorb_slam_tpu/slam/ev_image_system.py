@@ -57,16 +57,23 @@ class EvImageSlam:
         self.im = slam_system.MonoSlam(
             cam_params, img_w=img_w, img_h=img_h, N=max_kp, **slam_kw
         )
+        ev_min_init = max(20, slam_kw.get("min_init_matches", 40) // 2)
         self.ev = slam_system.MonoSlam(
             cam_params, img_w=img_w, img_h=img_h, N=ev_max_kp,
-            min_init_matches=max(
-                20, slam_kw.get("min_init_matches", 40) // 2
-            ),
+            K=slam_kw.get("K", 32), M=slam_kw.get("M", 4096),
+            min_init_matches=ev_min_init,
+            min_init_triangulated=max(15, ev_min_init * 3 // 4),
             min_track_inliers=8,
         )
-        self._ev_buf = np.zeros((0, 4), np.float32)
+        self._ev_buf = np.zeros((0, 4), np.float64)
         self._last_im_ts: Optional[float] = None
         self.joint_frames = 0
+        # paired per-tracker poses (ts, Tcw_im, Tcw_ev) feeding the Sim3
+        # gauge bridge between the two monocular maps (the reference aligns
+        # the event map with scale AND rotation — ApplyScaleAndRotationEvSynch,
+        # src/LoopClosing.cc:2075-2094)
+        self._gauge_pairs: list[tuple[float, np.ndarray, np.ndarray]] = []
+        self._gauge_window = 12
 
     # ---------------------------------------------------------------- input
 
@@ -76,7 +83,7 @@ class EvImageSlam:
         refinement."""
         if len(events):
             self._ev_buf = np.concatenate(
-                [self._ev_buf, np.asarray(events, np.float32)]
+                [self._ev_buf, np.asarray(events, np.float64)]
             )
 
         mci = self._synch_mci(ts)
@@ -115,14 +122,60 @@ class EvImageSlam:
         window = window[window[:, 0] >= ts - self.synch_window_s]
         if len(window) < self.cfg.min_chunk:
             return None
-        self.builder.chunks_in_window = [window]
-        return self.builder._finish_window()
+        # build_mci does NOT touch builder buffers — the reference's
+        # getSynchMCI likewise builds from the passed events without
+        # re-injecting an overlap tail into a queue nothing drains
+        return self.builder.build_mci(window)
 
     # ------------------------------------------------------------ joint opt
 
+    def _estimate_gauge(self):
+        """Full Sim3 (s, R_ie, t_ie) mapping event-map coordinates into the
+        image-map gauge, from recent frames where BOTH trackers tracked
+        independently. Two independently initialized monocular maps differ by
+        a full Sim3, not just a scale (the reference applies scale AND
+        rotation: ApplyScaleAndRotationEvSynch, src/LoopClosing.cc:2075-2094).
+
+        Per pair k the rotations give R_ie = R_im^T R_ev directly; the scale
+        comes from camera-center baseline ratios; the translation from the
+        residual means. Returns (s, R_ie, t_ie, residual) or None if under-
+        constrained / the two gauges disagree."""
+        pairs = self._gauge_pairs[-self._gauge_window:]
+        if len(pairs) < 3:
+            return None
+        R_sum = np.zeros((3, 3))
+        C_im, C_ev = [], []
+        for _, Ti, Te in pairs:
+            R_sum += Ti[:3, :3].T @ Te[:3, :3]
+            C_im.append(-Ti[:3, :3].T @ Ti[:3, 3])
+            C_ev.append(-Te[:3, :3].T @ Te[:3, 3])
+        # chordal mean of the per-frame R_ie estimates
+        U, _, Vt = np.linalg.svd(R_sum)
+        R_ie = U @ np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))]) @ Vt
+        C_im = np.stack(C_im)
+        C_ev = np.stack(C_ev)
+
+        d_im = np.linalg.norm(np.diff(C_im, axis=0), axis=1)
+        d_ev = np.linalg.norm(np.diff(C_ev, axis=0), axis=1)
+        ok = d_ev > 1e-4
+        if ok.sum() < 2 or float(d_im[ok].max()) < 1e-4:
+            return None
+        s = float(np.median(d_im[ok] / d_ev[ok]))
+        if not np.isfinite(s) or s < 1e-6:
+            return None
+        t_ie = (C_im - s * (R_ie @ C_ev.T).T).mean(axis=0)
+
+        # agreement gate: the Sim3 must actually explain the paired centers
+        resid = np.linalg.norm(C_im - (s * (R_ie @ C_ev.T).T + t_ie), axis=1)
+        span = float(d_im.sum())
+        if float(np.median(resid)) > max(0.25 * span, 1e-3):
+            return None
+        return s, R_ie, t_ie, float(np.median(resid))
+
     def _joint_refine(self, ts: float):
         """EvOptimizer::PoseOptimization equivalent: one GN solve over the
-        union of image-map and event-map matches of the paired frames."""
+        union of image-map and event-map matches of the paired frames, with
+        the event landmarks Sim3-bridged into the image gauge."""
         if (
             self.im.state != slam_system.OK
             or self.ev.state != slam_system.OK
@@ -137,49 +190,62 @@ class EvImageSlam:
 
         tr_i, f_i = self.im.last_track, self.im.last_frame
         tr_e, f_e = self.ev.last_track, self.ev.last_frame
-
-        # the two maps live in different scale gauges (both monocular); align
-        # the event-side points into the image gauge via the relative scale of
-        # the two current pose translations before stacking
-        # (the reference instead rescales the event map after IMU/merge —
-        # ApplyScaleAndRotationEvSynch; a per-frame gauge bridge is the
-        # tensor-state equivalent for the vision-only mode)
-        Ti = np.asarray(tr_i.Tcw)
-        Te = np.asarray(tr_e.Tcw)
-        ni = float(np.linalg.norm(Ti[:3, 3]))
-        ne = float(np.linalg.norm(Te[:3, 3]))
-        if ne < 1e-6 or ni < 1e-6:
+        self._gauge_pairs.append(
+            (ts, np.asarray(tr_i.Tcw), np.asarray(tr_e.Tcw))
+        )
+        gauge = self._estimate_gauge()
+        if gauge is None:
             return None
-        s = ni / ne
+        s, R_ie, t_ie, resid = gauge
 
         mi = tr_i.feat_lm >= 0
         me = tr_e.feat_lm >= 0
         pts_i = self.im.map.lm_pos[jnp.where(mi, tr_i.feat_lm, 0)]
-        pts_e = self.ev.map.lm_pos[jnp.where(me, tr_e.feat_lm, 0)] * s
+        pts_e_raw = self.ev.map.lm_pos[jnp.where(me, tr_e.feat_lm, 0)]
+        pts_e = (
+            s * (jnp.asarray(R_ie, jnp.float32) @ pts_e_raw.T).T
+            + jnp.asarray(t_ie, jnp.float32)
+        )
 
         pts = jnp.concatenate([pts_i, pts_e])
         uv = jnp.concatenate([f_i.xy_ud, f_e.xy_ud])
+        # event-map points are bridged through an estimated (drifting) Sim3
+        # and MCI keypoints are intrinsically blurrier: half weight (the
+        # reference's event edges likewise carry larger sigmas via octave)
         inv_sig = jnp.concatenate(
-            [frontend.inv_sigma(f_i.octave), frontend.inv_sigma(f_e.octave)]
+            [frontend.inv_sigma(f_i.octave), 0.5 * frontend.inv_sigma(f_e.octave)]
         )
         valid = jnp.concatenate([mi, me])
 
         Tj, inlier, n_inl = pose_only.pose_optimization(
             self.cam, tr_i.Tcw, pts, uv, inv_sig, valid
         )
-        # write the joint pose back into both trackers (and their gauges)
+        # inlier-count sanity on the IMAGE subset: a bad gauge shows up as
+        # the joint solve losing image inliers vs the image-only solve —
+        # keep the image pose then (event inliers alone must not vouch)
+        n_im = f_i.xy_ud.shape[0]
+        im_inl_joint = int(jnp.sum(inlier[:n_im]))
+        if im_inl_joint < int(tr_i.n_inliers) or not bool(
+            jnp.isfinite(Tj).all()
+        ):
+            return {"n_inliers": int(n_inl), "rejected": True}
+
+        # write the joint pose back into both trackers (and their gauges):
+        # Tcw_ev = [R_j R_ie | (R_j t_ie + t_j)/s] maps event-world to the
+        # camera in event-map units
         Tj_np = np.asarray(Tj)
         self.im.velocity = jnp.asarray(Tj_np) @ lie.se3_inv(self.im.T_last)
         self.im.T_last = jnp.asarray(Tj_np)
-        Te_j = Tj_np.copy()
-        Te_j[:3, 3] /= s
+        Te_j = np.eye(4, dtype=np.float32)
+        Te_j[:3, :3] = Tj_np[:3, :3] @ R_ie
+        Te_j[:3, 3] = (Tj_np[:3, :3] @ t_ie + Tj_np[:3, 3]) / s
         self.ev.velocity = jnp.asarray(Te_j) @ lie.se3_inv(self.ev.T_last)
         self.ev.T_last = jnp.asarray(Te_j)
         if self.im.trajectory and self.im.trajectory[-1][0] == ts:
             self.im.trajectory.pop()
             self.im._log_pose(ts, jnp.asarray(Tj_np))
         self.joint_frames += 1
-        return {"n_inliers": int(n_inl), "scale_bridge": s}
+        return {"n_inliers": int(n_inl), "scale_bridge": s, "gauge_resid": resid}
 
     # --------------------------------------------------------------- output
 

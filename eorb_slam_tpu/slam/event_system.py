@@ -55,6 +55,7 @@ class EventSlam:
             img_h=self.cfg.img_h,
             K=K, M=M, N=max_kp, P=P,
             min_init_matches=min_init_matches,
+            min_init_triangulated=max(15, min_init_matches * 3 // 4),
             min_track_inliers=min_track_inliers,
             seed=seed,
         )

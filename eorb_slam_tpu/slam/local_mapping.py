@@ -85,6 +85,80 @@ def create_new_landmarks(
     return m, jnp.sum((lm_ids >= 0).astype(jnp.int32))
 
 
+@jax.jit
+def create_new_landmarks_aligned(
+    m: ms.MapState,
+    cam_params: jnp.ndarray,
+    kf_a: jnp.ndarray,        # () int32 — new keyframe slot
+    kf_b: jnp.ndarray,        # () int32 — older keyframe slot
+    slot_ok: jnp.ndarray,     # (N,) bool — feature row is the SAME track
+    min_parallax_cos: float = 0.9998,
+):
+    """Triangulate landmarks between two keyframes whose feature arrays are
+    slot-ALIGNED (continuous-tracker layout: one FeatureTrack = one row, see
+    event/feature_tracks.py). No descriptor matching — correspondence is the
+    row index, as in the reference's track-driven CreateNewMapPoints overload
+    (EvLocalMapping, include/Event/EvLocalMapping.h:55-84)."""
+    Ta = m.kf_T[kf_a]
+    Tb = m.kf_T[kf_b]
+    ray_a = cam_mod.pinhole_unproject_linear(cam_params, m.kf_xy[kf_a])
+    ray_b = cam_mod.pinhole_unproject_linear(cam_params, m.kf_xy[kf_b])
+    ok_in = (
+        slot_ok
+        & m.kf_feat_valid[kf_a] & m.kf_feat_valid[kf_b]
+        & (m.kf_feat_lm[kf_a] < 0)
+    )
+    pts = triangulation.triangulate_dlt(Ta[None], Tb[None], ray_a, ray_b)
+    inv_s_a = cam_params[0] * frontend.inv_sigma(m.kf_octave[kf_a])
+    inv_s_b = cam_params[0] * frontend.inv_sigma(m.kf_octave[kf_b])
+    ok_tri, _ = triangulation.triangulation_checks(
+        Ta[None], Tb[None], ray_a, ray_b, pts,
+        min_parallax_cos=min_parallax_cos,
+        inv_sigma1=inv_s_a, inv_sigma2=inv_s_b,
+    )
+    ok = ok_in & ok_tri & jnp.isfinite(pts).all(axis=-1)
+    feat_ids = jnp.arange(m.N, dtype=jnp.int32)
+    m, lm_ids = ms.alloc_landmarks(
+        m, pts, m.kf_desc_pm1[kf_a], ok, kf_a, feat_ids, kf_b, feat_ids
+    )
+    return m, lm_ids
+
+
+@jax.jit
+def create_depth_landmarks(
+    m: ms.MapState,
+    cam_params: jnp.ndarray,
+    slot: jnp.ndarray,     # () int32 keyframe slot
+    depth: jnp.ndarray,    # (N,) metric depth per feature (<=0 = unknown)
+):
+    """Create landmarks directly from per-feature depth (stereo / RGB-D).
+
+    Equivalent of the stereo branch of Tracking::CreateNewKeyFrame /
+    StereoInitialization (reference src/Tracking.cc): features with a valid
+    depth and no landmark are unprojected at that depth and inserted. The
+    two founding observation rows both point at (slot, feat) — a depth-
+    founded landmark is fully constrained by one view, and the duplicated
+    row (a 2x-weighted reprojection residual in BA) keeps it clear of the
+    min-two-observations culling rule without a schema change."""
+    T = m.kf_T[slot]
+    xy = m.kf_xy[slot]
+    rays = cam_mod.pinhole_unproject_linear(cam_params, xy)       # (N,3)
+    pts_c = rays * depth[:, None]
+    pts_w = lie.se3_apply(lie.se3_inv(T), pts_c)
+    ok = (
+        m.kf_feat_valid[slot]
+        & (m.kf_feat_lm[slot] < 0)
+        & (depth > 0)
+        & jnp.isfinite(depth)
+        & jnp.isfinite(pts_w).all(axis=-1)
+    )
+    feat_ids = jnp.arange(m.N, dtype=jnp.int32)
+    m, lm_ids = ms.alloc_landmarks(
+        m, pts_w, m.kf_desc_pm1[slot], ok, slot, feat_ids, slot, feat_ids
+    )
+    return m, jnp.sum((lm_ids >= 0).astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def local_ba(
     m: ms.MapState,

@@ -41,6 +41,10 @@ class FrameInput:
     angle: jnp.ndarray       # (N,)
     desc_pm1: jnp.ndarray    # (N,256) int8
     valid: jnp.ndarray       # (N,)
+    # per-feature metric depth (stereo match / RGB-D lookup); <=0 or
+    # non-finite = unknown. None for pure monocular frames. (reference
+    # Frame::mvDepth / mvuRight, include/Frame.h)
+    depth: Optional[jnp.ndarray] = None
 
 
 class MonoSlam:
@@ -57,6 +61,7 @@ class MonoSlam:
         P: int = 8,
         local_window: int = 5,
         min_init_matches: int = 80,
+        min_init_triangulated: Optional[int] = None,
         min_track_inliers: int = 15,
         kf_inlier_ratio: float = 0.7,
         max_frames_between_kf: int = 10,
@@ -69,6 +74,15 @@ class MonoSlam:
         self.n_kf = 0
         self.local_window = local_window
         self.min_init_matches = min_init_matches
+        # the reference's TwoViewReconstruction requires 50 triangulated
+        # points for image init; event-image init works from far sparser
+        # MCIs, so it must scale with the match budget instead of being
+        # hard-floored above it
+        self.min_init_triangulated = (
+            min_init_triangulated
+            if min_init_triangulated is not None
+            else max(50, min_init_matches // 2)
+        )
         self.min_track_inliers = min_track_inliers
         self.kf_inlier_ratio = kf_inlier_ratio
         self.max_frames_between_kf = max_frames_between_kf
@@ -141,7 +155,7 @@ class MonoSlam:
         self.key, k = jax.random.split(self.key)
         res = twoview.reconstruct_two_views(
             self.cam, ref.xy_ud, f.xy_ud[idx2], m12 >= 0, k,
-            min_triangulated=max(50, self.min_init_matches // 2),
+            min_triangulated=self.min_init_triangulated,
         )
         if not bool(res.success):
             return {"state": self.state, "n": n}
@@ -228,6 +242,10 @@ class MonoSlam:
             n_inl = int(res.n_inliers)
             if n_inl < self.min_track_inliers:
                 return self._handle_lost(f, n_inl)
+
+        if not bool(jnp.isfinite(res.Tcw).all()):
+            # a degenerate GN solve must not poison T_last / the trajectory
+            return self._handle_lost(f, 0)
 
         self.last_track = res
         self.lost_frames = 0
@@ -334,6 +352,13 @@ class MonoSlam:
             ref_slot = jnp.asarray(self.n_kf - back)
             self.map, n_new = local_mapping.create_new_landmarks(
                 self.map, self.cam, slot, ref_slot
+            )
+        # stereo / RGB-D: features with metric depth found no triangulation
+        # partner yet become depth-founded landmarks (reference creates
+        # close stereo points at KF creation, src/Tracking.cc)
+        if f.depth is not None:
+            self.map, _ = local_mapping.create_depth_landmarks(
+                self.map, self.cam, slot, jnp.asarray(f.depth)
             )
         self.n_kf += 1
         self.frames_since_kf = 0

@@ -71,6 +71,9 @@ class MonoInertialSlam(MonoSlam):
         self.pre_since_kf = pre_mod.identity_preintegrated()
         self.pre_last_frame = pre_mod.identity_preintegrated()
         self.scale_applied = 1.0
+        # stereo/RGB-D inertial variants fix the (already metric) scale
+        # (reference InitializeIMU bFixedScale for non-monocular sensors)
+        self._imu_fix_scale = False
 
     # ---------------------------------------------------------------- input
 
@@ -172,6 +175,7 @@ class MonoInertialSlam(MonoSlam):
         res = inertial.inertial_init(
             Twb, self.pre_kf, edge_valid,
             prior_gyro=1e2, prior_acc=1e6, iters=60,
+            fix_scale=self._imu_fix_scale,
         )
         if not np.isfinite(float(res.cost)) or float(res.scale) < 1e-3:
             return
@@ -226,6 +230,7 @@ class MonoInertialSlam(MonoSlam):
         res = inertial.inertial_init(
             Twb, self.pre_kf, edge_valid,
             prior_gyro=1.0, prior_acc=1e4, iters=40,
+            fix_scale=self._imu_fix_scale,
         )
         s = float(res.scale)
         if not np.isfinite(s) or not (0.5 < s < 2.0):

@@ -94,7 +94,9 @@ class SynthWorld:
         Tcw[:3, 3] = -R.T @ pos
         return Tcw
 
-    def frame(self, t: float, n_slots=512, n_clutter=40, seed=None) -> FrameInput:
+    def frame(self, t: float, n_slots=512, n_clutter=40, seed=None,
+              with_depth=False, depth_noise=0.01,
+              depth_fraction=0.7) -> FrameInput:
         rng = self.rng if seed is None else np.random.default_rng(seed)
         Tcw = self.pose(t)
         pc = (Tcw[:3, :3] @ self.lm.T).T + Tcw[:3, 3]
@@ -128,6 +130,17 @@ class SynthWorld:
         desc[k : k + n_clutter] = random_descriptors(n_clutter, int(t * 1000) % 99991)
         valid[k : k + n_clutter] = True
 
+        depth = None
+        if with_depth:
+            # stereo/RGB-D fixture: metric depth on a random subset of the
+            # true-landmark features (multiplicative noise like disparity)
+            dep = np.full(n_slots, -1.0, np.float32)
+            has = rng.random(k) < depth_fraction
+            dep[:k][has] = pc[idx, 2][has] * (
+                1.0 + rng.normal(0, depth_noise, int(has.sum()))
+            )
+            depth = jnp.asarray(dep)
+
         return FrameInput(
             ts=t,
             xy_ud=jnp.asarray(xy),
@@ -135,4 +148,5 @@ class SynthWorld:
             angle=jnp.zeros(n_slots, jnp.float32),
             desc_pm1=jnp.asarray(desc),
             valid=jnp.asarray(valid),
+            depth=depth,
         ), Tcw

@@ -110,11 +110,11 @@ def test_contrast_max_sharpens_fast_window():
     ev = world.events(0.0, 0.8, 9000)
     from eorb_slam_tpu.event.builder import _make_candidates_jit, _pad_events
 
-    pad, v = _pad_events(ev, 16384)
+    pad, v, _ = _pad_events(ev, 16384)
     eye = jnp.eye(4, dtype=jnp.float32)
     imgs, scores, best, se2 = _make_candidates_jit(
         jnp.asarray(pad), jnp.asarray(v),
-        jnp.asarray(ev[0, 0], jnp.float32), jnp.asarray(ev[-1, 0], jnp.float32),
+        jnp.asarray(ev[-1, 0] - ev[0, 0], jnp.float32),
         eye, eye, jnp.asarray(1.0, jnp.float32), jnp.asarray(False),
         CAM, H=H, W=W, sigma=1.0, cm_iters=40,
     )
