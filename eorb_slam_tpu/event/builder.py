@@ -132,7 +132,10 @@ def _make_candidates(
         xy, t_sec, valid, H, W, iters=cm_iters, sigma=sigma
     )
     center = jnp.asarray([W / 2.0, H / 2.0], xy.dtype)
-    xy_se2 = tensorize.warp_se2(xy, t_sec, params, center)
+    # align to the window END (t_rel' = t - dt is 0 there): the MCI is
+    # stamped ts = window end, so its content must correspond to that
+    # instant — same constant-flow params maximize contrast either way
+    xy_se2 = tensorize.warp_se2(xy, t_sec - dt, params, center)
     img_se2 = tensorize.splat_gauss(xy_se2, valid, pol, H, W, sigma=sigma)
 
     # candidate 2: SE3 DPose warp with L2's median depth (getDPoseMCI)

@@ -114,10 +114,14 @@ def warp_se3_depth(
     cam_params: jnp.ndarray,
     depth,                    # scalar median depth OR (N,) per-event depth
 ):
-    """Warp events to the window-start frame through an SE3 interpolation
+    """Warp events to the window-END frame through an SE3 interpolation
     and a constant/median scene depth (reference ev2mci_gg_f SE3 overload,
     src/Event/EventConversion.cc:280-360: axis-angle slerp by relative
-    timestamp + median depth unprojection)."""
+    timestamp + median depth unprojection). End-alignment matters: the
+    resulting MCI is stamped with the window-end timestamp (PoseImage.ts)
+    and, in inertial modes, IMU windows end there too — the image content
+    must correspond to that instant (getSynchMCI builds the MCI at the
+    image timestamp, src/Event/EvImBuilder.cpp:1249)."""
     from eorb_slam_tpu.geometry import camera as cam_mod
 
     rays = cam_mod.pinhole_unproject_linear(cam_params, xy)   # (N,3)
@@ -128,9 +132,9 @@ def warp_se3_depth(
     T_t = jax.vmap(lambda a: lie.interpolate_se3(T0, T1, a))(t_rel)  # (N,4,4)
     Twc = jax.vmap(lie.se3_inv)(T_t)
     pts_w = jax.vmap(lie.se3_apply)(Twc, pts_c)
-    # reproject into the window-start camera
-    pts_0 = lie.se3_apply(T0, pts_w)
-    return cam_mod.pinhole_project_linear(cam_params, pts_0), pts_0[..., 2]
+    # reproject into the window-end camera
+    pts_1 = lie.se3_apply(T1, pts_w)
+    return cam_mod.pinhole_project_linear(cam_params, pts_1), pts_1[..., 2]
 
 
 # ------------------------------------------------------------- focus metrics

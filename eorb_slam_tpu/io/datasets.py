@@ -35,18 +35,20 @@ def _load_image(path: str) -> np.ndarray:
 
 
 def load_events_txt(path: str, max_events: Optional[int] = None) -> np.ndarray:
-    """Parse `events.txt` lines `ts x y p` -> float32 (N,4).
+    """Parse `events.txt` lines `ts x y p` -> float64 (N,4).
 
     Reference: EventDataStore::parseLine (src/Event/EventLoader.cpp:80).
     Uses the native C++ parser when built (≈10× faster than np.loadtxt).
-    """
+    float64 because the ts column must not quantize (EventData::ts is
+    double in the reference); the builder rebases to window-relative
+    float32 on dispatch."""
     ev = native.parse_events(path, max_events)
     if ev is not None:
         return ev
-    ev = np.loadtxt(path, dtype=np.float32, ndmin=2)
+    ev = np.loadtxt(path, dtype=np.float64, ndmin=2)
     if max_events is not None:
         ev = ev[:max_events]
-    return np.ascontiguousarray(ev[:, :4], np.float32)
+    return np.ascontiguousarray(ev[:, :4])
 
 
 def load_csv(path: str, skip_header: bool = True) -> np.ndarray:

@@ -94,11 +94,16 @@ def _parse(path: str, mode: int, max_rows: Optional[int]) -> Optional[np.ndarray
 
 
 def parse_events(path: str, max_events: Optional[int] = None) -> Optional[np.ndarray]:
-    """Whitespace table (events/imu/gt txt) -> float32 (N,4) or None."""
+    """Whitespace table (events/imu/gt txt) -> float64 (N,4) or None.
+
+    Timestamps MUST stay float64: at ts~100 s float32 quantizes to ~10 us,
+    which corrupts t_rel inside millisecond MCI windows (the reference keeps
+    EventData::ts double, include/Event/EventData.h:36-58); the window
+    builder rebases to float32 only after subtracting the window start."""
     arr = _parse(path, 0, max_events)
     if arr is None:
         return None
-    return np.ascontiguousarray(arr[:, :4], np.float32)
+    return np.ascontiguousarray(arr[:, :4])
 
 
 def parse_txt(path: str, max_rows: Optional[int] = None) -> Optional[np.ndarray]:

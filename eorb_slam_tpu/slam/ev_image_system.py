@@ -77,10 +77,12 @@ class EvImageSlam:
 
     # ---------------------------------------------------------------- input
 
-    def track_ev_mono(self, events: np.ndarray, img: np.ndarray, ts: float):
+    def track_ev_mono(self, events: np.ndarray, img: np.ndarray, ts: float,
+                      imu=None):
         """System::TrackEvMono (src/System.cc:868-939): buffer events, build
         the synch MCI at the image timestamp, run both trackers + joint
-        refinement."""
+        refinement. ``imu`` (ImuChunk since the previous frame) is forwarded
+        to inertial image trackers (EVENT_IMU_MONO mode)."""
         if len(events):
             self._ev_buf = np.concatenate(
                 [self._ev_buf, np.asarray(events, np.float64)]
@@ -89,9 +91,7 @@ class EvImageSlam:
         mci = self._synch_mci(ts)
 
         # image tracker first (clock master)
-        im_res = self.im.process_image(
-            jnp.asarray(img, jnp.float32), ts, max_kp=self.max_kp
-        )
+        im_res = self._track_image(img, ts, imu)
 
         ev_res = None
         if mci is not None:
@@ -110,6 +110,13 @@ class EvImageSlam:
         joint = self._joint_refine(ts)
         self._last_im_ts = ts
         return {"image": im_res, "event": ev_res, "joint": joint}
+
+    def _track_image(self, img: np.ndarray, ts: float, imu=None):
+        """Image-tracker hook; the inertial variant overrides this to route
+        the IMU window into the frame (slam/event_inertial.py)."""
+        return self.im.process_image(
+            jnp.asarray(img, jnp.float32), ts, max_kp=self.max_kp
+        )
 
     def _synch_mci(self, ts: float) -> Optional[ev_builder.PoseImage]:
         """getSynchMCI: MCI over the events ending at the image timestamp
@@ -251,6 +258,17 @@ class EvImageSlam:
 
     def trajectory_twc(self):
         return self.im.trajectory_twc()
+
+    def fused_trajectory(self, **kw):
+        """System::FuseEventORB equivalent: weld the event tracker's KF
+        chains into the image trajectory's gauge via the joint pose-graph
+        solve (slam/fusion.py; reference MyOptimizer::MergeVisualEvent,
+        src/Utils/MyOptimizer.cpp:3471). Returns the fusion result dict."""
+        from eorb_slam_tpu.slam import fusion
+
+        return fusion.fuse_event_orb(
+            self.im.trajectory_twc(), self.ev.trajectory_twc(), **kw
+        )
 
     @property
     def stats(self):

@@ -57,3 +57,15 @@ def test_ev_mono_joint_tracking():
     assert n >= 5
     span = traj[-1][0] - traj[0][0]
     assert rmse < max(0.12, 0.2 * 0.52 * span), (rmse, span, s)
+
+    # FuseEventORB: event KF chain welds into the image gauge; fused event
+    # poses score against GT under the IMAGE trajectory's single alignment
+    fused = slam.fused_trajectory()
+    if fused["chains"] >= 1:
+        traj_f = fused["fused"]
+        gt_f = [(t, np.linalg.inv(world.pose(t))) for t, _ in traj_f]
+        rmse_f, n_f, _, _, _ = ate.ate_rmse(
+            traj_f, gt_f, with_scale=True, max_dt=0.05
+        )
+        assert n_f >= len(traj)  # fused includes image + event poses
+        assert rmse_f < max(0.15, 0.25 * 0.52 * span), (rmse_f, fused["chains"])

@@ -120,8 +120,8 @@ class TestWarpSE3:
         assert np.allclose(np.asarray(z), 5.0, atol=1e-4)
 
     def test_translation_compensation(self):
-        """Events observed by a translating camera warp back to the
-        window-start projection."""
+        """Events observed by a translating camera warp forward to the
+        window-END projection (the MCI's timestamp)."""
         cam = camera.make_pinhole(200.0, 200.0, W / 2, H / 2)
         depth = 5.0
         pt_w = jnp.asarray([0.5, -0.3, depth])
@@ -138,5 +138,7 @@ class TestWarpSE3:
             ))
         uv_obs = jnp.asarray(np.stack(uv_obs), jnp.float32)
         xy_w, _ = tensorize.warp_se3_depth(uv_obs, t_rel, T0, T1, cam, depth)
-        uv0 = np.asarray(cm.pinhole_project_linear(cam, pt_w))
-        assert np.allclose(np.asarray(xy_w), uv0[None, :], atol=0.15)
+        uv1 = np.asarray(
+            cm.pinhole_project_linear(cam, lie.se3_apply(T1, pt_w))
+        )
+        assert np.allclose(np.asarray(xy_w), uv1[None, :], atol=0.15)
