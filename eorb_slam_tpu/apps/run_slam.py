@@ -1,0 +1,322 @@
+"""Unified dataset-driven SLAM runner — the reference's app layer.
+
+One YAML settings file drives everything, exactly like the reference's
+``fmt_ev_ethz`` / ``fmt_euroc`` mains (Examples/Event/fmt_ev_ethz.cpp:43-270):
+per image timestamp, pull the events in ``(last, t]`` and the IMU chunk,
+dispatch on the sensor config to the right pipeline, time every iteration,
+and save TUM trajectories with the timing-stats header
+(:221-242 of the reference main). Event-only modes stream fixed-size event
+chunks instead of frames (System::TrackEvent, src/System.cc:800-866).
+
+Usage:
+    python -m eorb_slam_tpu.apps.run_slam <settings.yaml> [--out DIR]
+        [--max-frames N] [--eval] [--sequence NAME]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from eorb_slam_tpu.io import config as cfg_mod
+from eorb_slam_tpu.io import datasets, trajectory
+from eorb_slam_tpu.io.config import SensorConfig
+
+
+def build_system(st: cfg_mod.Settings):
+    """System::System equivalent: construct the pipeline for the sensor
+    config (reference src/System.cc:61-274 + EvTrackManager tracker
+    selection, src/Event/EvTrackManager.cpp:41-66)."""
+    from eorb_slam_tpu.event import builder as ev_builder
+    from eorb_slam_tpu.imu import preintegration as pre_mod
+
+    cam = jnp.asarray(st.cam.params_array())
+    n_kp = min(max(st.features.n_features, 128), 1024)
+    kw = dict(
+        img_w=st.cam.width or 240, img_h=st.cam.height or 180, N=n_kp
+    )
+    calib = pre_mod.make_calib(
+        Tbc=jnp.asarray(st.imu.Tbc), gyro_noise=st.imu.noise_gyro,
+        acc_noise=st.imu.noise_acc, gyro_walk=st.imu.walk_gyro,
+        acc_walk=st.imu.walk_acc, freq=st.imu.freq,
+    )
+    ev_cfg = ev_builder.BuilderConfig(
+        img_w=st.cam.width or 240, img_h=st.cam.height or 180,
+        l1_chunk_size=st.event.l1_chunk_size,
+        l1_num_loop=st.event.l1_num_loop,
+        min_ev_gen_rate=st.event.min_ev_gen_rate,
+        max_pixel_disp=st.event.max_pixel_disp,
+        sigma=st.event.sigma,
+    )
+    s = st.sensor
+    if s is SensorConfig.MONOCULAR:
+        from eorb_slam_tpu.slam.system import MonoSlam
+
+        return MonoSlam(cam, **kw)
+    if s is SensorConfig.STEREO:
+        from eorb_slam_tpu.slam.rgbd_stereo import StereoSlam
+
+        return StereoSlam(cam, baseline=st.cam.bf / max(st.cam.fx, 1e-9), **kw)
+    if s is SensorConfig.RGBD:
+        from eorb_slam_tpu.slam.rgbd_stereo import RgbdSlam
+
+        return RgbdSlam(cam, **kw)
+    if s is SensorConfig.IMU_MONOCULAR:
+        from eorb_slam_tpu.slam.vi_system import MonoInertialSlam
+
+        return MonoInertialSlam(cam, calib, **kw)
+    if s is SensorConfig.IMU_STEREO:
+        from eorb_slam_tpu.slam.rgbd_stereo import StereoInertialSlam
+
+        return StereoInertialSlam(
+            cam, calib, baseline=st.cam.bf / max(st.cam.fx, 1e-9), **kw
+        )
+    if s is SensorConfig.EVENT_ONLY:
+        if st.event.continuous:
+            from eorb_slam_tpu.slam.event_continuous import EventSlamContinuous
+
+            return EventSlamContinuous(cam, ev_cfg)
+        from eorb_slam_tpu.slam.event_system import EventSlam
+
+        return EventSlam(cam, ev_cfg)
+    if s is SensorConfig.EVENT_IMU:
+        from eorb_slam_tpu.slam.event_inertial import EventInertialSlam
+
+        return EventInertialSlam(cam, calib, ev_cfg)
+    if s is SensorConfig.EVENT_MONO:
+        from eorb_slam_tpu.slam.ev_image_system import EvImageSlam
+
+        return EvImageSlam(
+            cam, ev_cfg, img_w=st.cam.width, img_h=st.cam.height,
+            max_kp=n_kp,
+        )
+    if s is SensorConfig.EVENT_IMU_MONO:
+        from eorb_slam_tpu.slam.event_inertial import EvImageInertialSlam
+
+        return EvImageInertialSlam(
+            cam, calib, cfg=ev_cfg, img_w=st.cam.width, img_h=st.cam.height,
+            max_kp=n_kp,
+        )
+    raise ValueError(f"unsupported sensor config: {s}")
+
+
+def _imu_chunk(seq: datasets.Sequence, t0: float, t1: float):
+    from eorb_slam_tpu.slam.vi_system import ImuChunk
+
+    if seq.imu is None:
+        return ImuChunk(
+            gyro=np.zeros((0, 3), np.float32),
+            acc=np.zeros((0, 3), np.float32),
+            dts=np.zeros(0, np.float32),
+        )
+    i0 = int(np.searchsorted(seq.imu.ts, t0, side="right"))
+    i1 = int(np.searchsorted(seq.imu.ts, t1, side="right"))
+    ts = seq.imu.ts[i0:i1]
+    dts = np.diff(ts, prepend=t0).astype(np.float32)
+    return ImuChunk(
+        gyro=seq.imu.gyro[i0:i1].astype(np.float32),
+        acc=seq.imu.acc[i0:i1].astype(np.float32),
+        dts=np.clip(dts, 1e-5, 0.1),
+    )
+
+
+def run_sequence(
+    st: cfg_mod.Settings,
+    seq: datasets.Sequence,
+    out_dir: str = "results",
+    max_frames: Optional[int] = None,
+    pace: bool = False,
+    verbose: bool = True,
+):
+    """One sequence through the pipeline; returns (slam, result dict)."""
+    slam = build_system(st)
+    s = st.sensor
+    main_timer = trajectory.SmartTimer("tracking")
+    t_wall0 = time.perf_counter()
+
+    if s in (SensorConfig.EVENT_ONLY, SensorConfig.EVENT_IMU):
+        # event-clock loop: fixed-size chunks (System::TrackEvent)
+        assert seq.events is not None, "event mode needs an event stream"
+        chunk_n = st.event.l1_chunk_size * st.event.l1_num_loop
+        n_chunks = 0
+        last_t = float(seq.events.events[0, 0]) if len(seq.events) else 0.0
+        while not seq.events.exhausted:
+            chunk = seq.events.next_chunk_count(chunk_n)
+            if len(chunk) == 0:
+                break
+            t_hi = float(chunk[-1, 0])
+            if s is SensorConfig.EVENT_IMU and seq.imu is not None:
+                sel = (seq.imu.ts > last_t) & (seq.imu.ts <= t_hi)
+                slam.grab_imu(
+                    seq.imu.ts[sel], seq.imu.gyro[sel], seq.imu.acc[sel]
+                )
+            main_timer.tic()
+            slam.track_events(chunk)
+            main_timer.toc()
+            last_t = t_hi
+            n_chunks += 1
+            if max_frames is not None and n_chunks >= max_frames:
+                break
+        n_iter = n_chunks
+    else:
+        # image-clock loop (fmt_ev_ethz main loop :161-201)
+        n = seq.n_frames if max_frames is None else min(seq.n_frames, max_frames)
+        last_t = None
+        for i in range(n):
+            t = float(seq.image_ts[i])
+            t_prev = last_t if last_t is not None else t - 1.0 / max(
+                st.cam.fps, 1.0
+            )
+            img = seq.image(i) * 255.0  # loader serves [0,1]; FAST
+            # thresholds (and the reference pipeline) are 8-bit units
+            main_timer.tic()
+            if s is SensorConfig.MONOCULAR:
+                slam.process_image(jnp.asarray(img, jnp.float32), t)
+            elif s is SensorConfig.IMU_MONOCULAR:
+                from eorb_slam_tpu.ops import frontend
+                from eorb_slam_tpu.geometry import camera as cam_mod
+                from eorb_slam_tpu.slam.system import FrameInput
+
+                feats = frontend.extract(jnp.asarray(img, jnp.float32),
+                                         max_kp=slam.map.N)
+                xy_ud = cam_mod.undistort_points(slam.cam, feats.xy)
+                slam.process_features_imu(
+                    FrameInput(t, xy_ud, feats.octave, feats.angle,
+                               feats.desc_pm1, feats.valid),
+                    _imu_chunk(seq, t_prev, t),
+                )
+            elif s in (SensorConfig.EVENT_MONO, SensorConfig.EVENT_IMU_MONO):
+                ev = (
+                    seq.events.next_chunk_until(t)
+                    if seq.events is not None
+                    else np.zeros((0, 4))
+                )
+                if s is SensorConfig.EVENT_IMU_MONO:
+                    slam.track_ev_mono(ev, img, t,
+                                       imu=_imu_chunk(seq, t_prev, t))
+                else:
+                    slam.track_ev_mono(ev, img, t)
+            else:
+                raise ValueError(
+                    f"sensor {s} needs stereo/depth data; provide a custom "
+                    "driver (stereo/RGB-D loaders return mono sequences here)"
+                )
+            main_timer.toc()
+            last_t = t
+            if pace:
+                dt_target = 1.0 / max(st.cam.fps, 1.0)
+                sleep = dt_target - main_timer.deltas[-1]
+                if sleep > 0:
+                    time.sleep(sleep)
+            if verbose and i % 50 == 0:
+                print(f"[{seq.name}] frame {i}/{n}", file=sys.stderr)
+        n_iter = n
+
+    wall = time.perf_counter() - t_wall0
+    os.makedirs(out_dir, exist_ok=True)
+    traj = slam.trajectory_twc()
+    out = {
+        "sequence": seq.name,
+        "iterations": n_iter,
+        "wall_s": wall,
+        "tracked_poses": len(traj),
+        "avg_track_ms": main_timer.average * 1e3,
+        "stats": dict(slam.stats),
+    }
+    if traj:
+        ts = np.asarray([x for x, _ in traj])
+        Twc = np.stack([T for _, T in traj])
+        path = os.path.join(out_dir, f"{seq.name}_{s.name.lower()}.txt")
+        trajectory.save_tum(path, ts, Twc, timers=(main_timer,))
+        out["trajectory_file"] = path
+    # FuseEventORB on the way out (reference System::Shutdown path)
+    if hasattr(slam, "fused_trajectory"):
+        try:
+            fused = slam.fused_trajectory()
+            if fused.get("chains", 0) > 0:
+                ts = np.asarray([x for x, _ in fused["fused"]])
+                Twc = np.stack([T for _, T in fused["fused"]])
+                path = os.path.join(out_dir, f"{seq.name}_fused.txt")
+                trajectory.save_tum(path, ts, Twc, timers=(main_timer,))
+                out["fused_trajectory_file"] = path
+        except Exception as e:  # fusion is best-effort post-processing
+            out["fusion_error"] = str(e)
+    return slam, out
+
+
+def evaluate(seq: datasets.Sequence, traj_file: str, monocular: bool = True):
+    """Score a saved trajectory against the sequence GT (the reference's
+    evaluate_ate_scale.py / my_eval_ape.py protocol)."""
+    from eorb_slam_tpu.evals import ate, rpe
+    from eorb_slam_tpu.io.trajectory import load_tum, tum_to_mats
+
+    if seq.gt_ts is None:
+        return {"error": "no ground truth in sequence"}
+    rows = load_tum(traj_file)
+    ts_e, Twc_e = tum_to_mats(rows)
+    est = list(zip(ts_e.tolist(), Twc_e))
+    gt_rows = np.concatenate([seq.gt_ts[:, None], seq.gt_pose], axis=1)
+    ts_g, Twc_g = tum_to_mats(gt_rows)
+    gt = list(zip(ts_g.tolist(), Twc_g))
+    out = {}
+    r, n, scale, _, _ = ate.ate_rmse(est, gt, with_scale=monocular)
+    out["ate_rmse"] = r
+    out["ate_n"] = n
+    out["ate_scale"] = scale
+    out["ape_piecewise"] = {
+        k: v for k, v in rpe.ate_piecewise(est, gt, with_scale=monocular).items()
+        if k != "pieces"
+    }
+    rp = rpe.rpe(est, gt, delta=1, scale_norm=monocular)
+    out["rpe_trans_rmse"] = rp["trans_rmse"]
+    out["rpe_rot_rmse"] = rp["rot_rmse"]
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("settings", help="YAML settings file (reference format)")
+    p.add_argument("--out", default="results")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--sequence", default=None,
+                   help="override DS target sequence name")
+    p.add_argument("--eval", action="store_true", dest="do_eval")
+    p.add_argument("--pace", action="store_true",
+                   help="sleep to dataset frame rate (real-time pacing)")
+    args = p.parse_args(argv)
+
+    st = cfg_mod.load_settings(args.settings)
+    seqs = list(st.dataset.sequences) or [""]
+    if args.sequence is not None:
+        seqs = [args.sequence]
+    elif st.dataset.seq_target >= 0:
+        seqs = [seqs[st.dataset.seq_target]]
+
+    results = []
+    for name in seqs:
+        seq = datasets.load_sequence(
+            st.dataset.format, st.dataset.root, name,
+            ts_factor=st.dataset.ts_factor,
+        )
+        slam, out = run_sequence(
+            st, seq, out_dir=args.out, max_frames=args.max_frames,
+            pace=args.pace,
+        )
+        if args.do_eval and "trajectory_file" in out:
+            out["eval"] = evaluate(
+                seq, out["trajectory_file"],
+                monocular=st.sensor.is_monocular() and not st.sensor.is_inertial(),
+            )
+        print(out)
+        results.append(out)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -285,7 +285,15 @@ class EventWindowBuilder:
             self.stats["ev_truncated"] += n_drop
 
         if self.pose_prior is not None:
-            T0, T1, depth = self.pose_prior
+            # L2 posts the poses of the LAST TWO tracked frames (PoseDepthInfo
+            # analog); this window starts where the last one ended, so warp
+            # with the constant-velocity extrapolation (T_cur, rel @ T_cur)
+            # — matching the reference's DPose usage, which applies the last
+            # relative pose forward (src/Event/EvImBuilder.cpp:958-1032)
+            T_prev, T_cur, depth = self.pose_prior
+            rel = T_cur @ np.linalg.inv(T_prev)
+            T0 = T_cur.astype(np.float32)
+            T1 = (rel @ T_cur).astype(np.float32)
             have_dpose = True
         else:
             T0 = T1 = np.eye(4, dtype=np.float32)

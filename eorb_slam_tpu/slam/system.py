@@ -117,7 +117,10 @@ class MonoSlam:
 
     # ---------------------------------------------------------------- input
 
-    def process_image(self, img: jnp.ndarray, ts: float, max_kp: int = 512):
+    def process_image(self, img: jnp.ndarray, ts: float,
+                      max_kp: Optional[int] = None):
+        if max_kp is None:
+            max_kp = self.map.N  # frame capacity == extraction budget
         feats = frontend.extract(img, max_kp=max_kp)
         xy_ud = cam_mod.undistort_points(self.cam, feats.xy)
         return self.process_features(
@@ -260,12 +263,19 @@ class MonoSlam:
         need_kf = self.n_kf < self.map.K and (
             n_inl < self.kf_inlier_ratio * max(self.n_inliers_ref, 1)
             or self.frames_since_kf >= self.max_frames_between_kf
+            or self._need_kf_extra(f)
         )
         out = {"state": self.state, "n_inliers": n_inl, "kf": False}
         if need_kf:
             self._insert_keyframe(f, res)
             out.update(kf=True, n_lm=self.stats["lm"])
         return out
+
+    def _need_kf_extra(self, f) -> bool:
+        """Extra sensor-specific KF triggers; inertial pipelines force a KF
+        on elapsed time (reference NeedNewKeyFrame's IMU branch inserts at
+        >= 0.5 s since the last KF, src/Tracking.cc:2083)."""
+        return False
 
     # ------------------------------------------------------------- recovery
 

@@ -51,11 +51,16 @@ class MonoInertialSlam(MonoSlam):
 
     def __init__(self, cam_params, calib: pre_mod.ImuCalib,
                  min_kf_imu_init: int = 6, min_time_imu_init: float = 1.5,
+                 max_kf_dt: float = 0.5,
                  **kw):
         super().__init__(cam_params, **kw)
         self.calib = calib
         self.min_kf_imu_init = min_kf_imu_init
         self.min_time_imu_init = min_time_imu_init
+        # inertial modes force a KF on elapsed time so preintegration
+        # factors stay short and scale/gravity remain well-conditioned
+        # (reference NeedNewKeyFrame IMU branch, src/Tracking.cc:2083)
+        self.max_kf_dt = max_kf_dt
 
         K = self.map.K
         self.pre_kf = _stack_identity_pre(K)       # factor: KF k-1 -> k
@@ -134,6 +139,12 @@ class MonoInertialSlam(MonoSlam):
                 self.vel = (p2 - p1) / dt
         return out
 
+    def _need_kf_extra(self, f) -> bool:
+        if self.n_kf == 0:
+            return False
+        last_ts = float(np.asarray(self.map.kf_ts)[self.n_kf - 1])
+        return (f.ts - last_ts) >= self.max_kf_dt
+
     def _insert_keyframe(self, f: FrameInput, res):
         slot = self.n_kf
         pre_window = self.pre_since_kf
@@ -154,7 +165,7 @@ class MonoInertialSlam(MonoSlam):
             # staged scale/gravity refinement while the map is young
             # (reference LocalMapping::ScaleRefinement windows,
             # src/LocalMapping.cc:244-255)
-            if self.n_kf - self._init_kf_count in (2, 4, 8):
+            if self.n_kf - self._init_kf_count in (1, 2, 3, 4, 6, 8, 12, 16):
                 self._scale_refinement()
 
     # ----------------------------------------------------------- imu stages
@@ -233,8 +244,12 @@ class MonoInertialSlam(MonoSlam):
             fix_scale=self._imu_fix_scale,
         )
         s = float(res.scale)
-        if not np.isfinite(s) or not (0.5 < s < 2.0):
-            return  # refinement should be a small correction; reject else
+        # wide sanity window only: a refit over MORE baseline regularly has
+        # to correct a poor first init by several x (the reference's
+        # ScaleRefinement applies its estimate ungated whenever |s-1| is
+        # significant, src/LocalMapping.cc:244-255)
+        if not np.isfinite(s) or not (0.1 < s < 10.0):
+            return
         g_est = np.asarray(res.g)
         g_tgt = np.asarray([0.0, 0.0, -pre_mod.GRAVITY])
         v = np.cross(g_est, g_tgt)
@@ -261,6 +276,10 @@ class MonoInertialSlam(MonoSlam):
         self.vel = vel2[last]
         self.T_last = kf_T2[last]
         self.scale_applied *= s
+        # re-solve structure+poses with inertial factors at the new scale
+        # (the reference follows InertialOptimization with FullInertialBA,
+        # src/IMU/IMU_Manager.cpp:322-371)
+        self._vi_local_ba(full=True)
 
     def _vi_local_ba(self, full: bool = False):
         from eorb_slam_tpu.ops import frontend

@@ -58,6 +58,54 @@ def imu_between(world: "SynthWorld", t0: float, t1: float, hz: float = 200.0,
     )
 
 
+def imu_from_pose(pose_fn, t0: float, t1: float, hz: float = 200.0,
+                  bg=np.zeros(3), ba=np.zeros(3), noise=0.0, rng=None):
+    """Ideal IMU samples for ANY Tcw(t) trajectory (body == camera frame):
+    gyro from the finite-difference rotation log, accel from the second
+    finite difference of the camera center (no analytic derivative needed)."""
+    from eorb_slam_tpu.slam.vi_system import ImuChunk
+
+    n = max(int(round((t1 - t0) * hz)), 0)
+    ts = t0 + np.arange(n) / hz
+    h = 1e-3
+    gyro = np.zeros((n, 3))
+    acc = np.zeros((n, 3))
+    for i, t in enumerate(ts):
+        Ta = np.asarray(pose_fn(t - h), np.float64)
+        T0 = np.asarray(pose_fn(t), np.float64)
+        Tb = np.asarray(pose_fn(t + h), np.float64)
+        Ra, R0, Rb = Ta[:3, :3].T, T0[:3, :3].T, Tb[:3, :3].T   # Rwc
+        Ca = -Ra @ Ta[:3, 3]
+        C0 = -R0 @ T0[:3, 3]
+        Cb = -Rb @ Tb[:3, 3]
+        w = np.asarray(lie.so3_log(jnp.asarray(Ra.T @ Rb, jnp.float32))) / (2 * h)
+        a_w = (Cb - 2 * C0 + Ca) / (h * h)
+        gyro[i] = w + bg
+        acc[i] = R0.T @ (a_w - GRAVITY_W) + ba
+    if noise > 0 and rng is not None:
+        gyro += rng.normal(0, noise * 0.01, gyro.shape)
+        acc += rng.normal(0, noise, acc.shape)
+    return ImuChunk(
+        gyro=gyro.astype(np.float32), acc=acc.astype(np.float32),
+        dts=np.full(n, 1.0 / hz, np.float32),
+    ), ts
+
+
+def imu_slice(imu: "ImuChunk", imu_ts: np.ndarray, t0: float, t1: float):
+    """Slice a globally-generated IMU stream to the (t0, t1] window with
+    boundary-bridging dts (how the dataset loaders serve chunks) — avoids
+    the per-window round() time deficit of generating IMU per frame."""
+    from eorb_slam_tpu.slam.vi_system import ImuChunk
+
+    sel = (imu_ts > t0) & (imu_ts <= t1)
+    ts = imu_ts[sel]
+    dts = np.diff(ts, prepend=t0).astype(np.float32)
+    return ImuChunk(
+        gyro=imu.gyro[sel], acc=imu.acc[sel],
+        dts=np.clip(dts, 1e-5, 0.1),
+    )
+
+
 class SynthWorld:
     def __init__(self, n_landmarks=2000, seed=0, noise_px=0.4):
         rng = np.random.default_rng(seed)

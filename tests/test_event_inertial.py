@@ -1,0 +1,147 @@
+"""Event-inertial modes: EVENT_IMU (events + IMU -> metric event map) and
+EVENT_IMU_MONO (image clock + synch MCIs + IMU on the image tracker).
+
+The decisive capability: once the IMU initializes, the trajectory must
+align to ground truth under SE3 with scale FIXED at 1 (the reference's
+IMU_Manager::initializeIMU applies scale+gravity to the event map,
+src/IMU/IMU_Manager.cpp:214-427)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from eorb_slam_tpu.evals import ate
+from eorb_slam_tpu.imu import preintegration as pre_mod
+from eorb_slam_tpu.slam import event_inertial
+from eorb_slam_tpu.slam.system import OK
+from eorb_slam_tpu.slam.vi_system import ImuChunk
+from eorb_slam_tpu.geometry import lie
+
+from tests.synth import imu_from_pose, imu_slice
+from tests.test_event_slam import CAM, EventWorld, make_cfg, H, W
+from tests.test_ev_image_slam import render_frame
+
+BG_TRUE = np.asarray([0.003, -0.005, 0.004])
+
+
+class ExcitedEventWorld(EventWorld):
+    """EventWorld with real translational acceleration (~1 m/s^2): without
+    excitation the visual-inertial scale is unobservable."""
+
+    def pose(self, t: float) -> np.ndarray:
+        pos = np.asarray([
+            0.4 * t + 0.15 * np.sin(1.6 * t),
+            0.18 * np.sin(2.2 * t),
+            0.08 * t + 0.1 * (1.0 - np.cos(1.4 * t)),
+        ])
+        yaw = 0.06 * np.sin(0.8 * t)
+        R = np.asarray(lie.so3_exp(jnp.asarray([0.0, yaw, 0.0], jnp.float32)))
+        Tcw = np.eye(4, dtype=np.float32)
+        Tcw[:3, :3] = R.T
+        Tcw[:3, 3] = -R.T @ pos
+        return Tcw
+
+
+def test_imu_buffer_windows():
+    buf = event_inertial.ImuBuffer()
+    ts = np.arange(0.0, 1.0, 0.005)
+    buf.push(ts, np.ones((len(ts), 3)), 2 * np.ones((len(ts), 3)))
+    c1 = buf.window(0.25)
+    c2 = buf.window(0.5)
+    # ts starts at 0.0, so [0, 0.25] holds 51 samples, (0.25, 0.5] holds 50
+    assert c1.gyro.shape[0] == 51
+    assert c2.gyro.shape[0] == 50
+    # dts sum to the window spans (first dt bridges the boundary)
+    assert np.isclose(c2.dts.sum(), 0.25, atol=0.01)
+    c3 = buf.window(0.5)  # empty window
+    assert c3.gyro.shape[0] == 0
+
+
+@pytest.fixture(scope="module")
+def event_imu_run():
+    world = ExcitedEventWorld(n_points=260, seed=7)
+    calib = pre_mod.make_calib(freq=200.0)
+    slam = event_inertial.EventInertialSlam(
+        CAM, calib, make_cfg(), max_kp=256,
+        min_init_matches=25, min_track_inliers=8,
+        min_kf_imu_init=5, min_time_imu_init=0.8,
+    )
+    t_end = 3.2
+    ev = world.events(0.0, t_end, 210000)
+    imu, imu_ts = imu_from_pose(world.pose, 0.0, t_end, hz=200.0, bg=BG_TRUE)
+    # interleave: push events + the IMU samples covering them
+    last_t = 0.0
+    for k in range(0, len(ev), 8000):
+        chunk = ev[k : k + 8000]
+        t_hi = float(chunk[-1, 0])
+        sel = (imu_ts > last_t) & (imu_ts <= t_hi)
+        slam.grab_imu(imu_ts[sel], imu.gyro[sel], imu.acc[sel])
+        slam.track_events(chunk)
+        last_t = t_hi
+    gt = [(float(t), np.linalg.inv(world.pose(float(t))))
+          for t in np.arange(0.0, t_end, 0.05)]
+    return slam, gt
+
+
+def test_event_imu_initializes_and_is_metric(event_imu_run):
+    slam, gt = event_imu_run
+    s = slam.stats
+    assert slam.l2.state == OK, s
+    assert slam.imu_initialized, s
+    traj = slam.trajectory_twc()
+    assert len(traj) >= 6, s
+    # SE3 alignment (scale pinned at 1): passes only if the map is metric
+    rmse, n, _, _, _ = ate.ate_rmse(traj, gt, with_scale=False, max_dt=0.05)
+    assert n >= 6
+    assert rmse < 0.12, (rmse, s)
+    # staged refinements converge the scale geometrically; on a 3.2 s MCI
+    # sequence the residual settles near ~15% (vs ~4x before init)
+    _, _, s_free, _, _ = ate.ate_rmse(traj, gt, with_scale=True, max_dt=0.05)
+    assert s_free == pytest.approx(1.0, abs=0.2)
+
+
+def test_event_imu_gyro_bias(event_imu_run):
+    slam, _ = event_imu_run
+    # weak rotational excitation (0.06 rad yaw wobble) -> bg observable only
+    # to ~1e-2; assert it stays bounded rather than exactly recovered
+    assert np.allclose(np.asarray(slam.l2.bg), BG_TRUE, atol=2e-2)
+    assert np.all(np.abs(np.asarray(slam.l2.ba)) < 0.5)
+
+
+def test_ev_image_imu_mode():
+    """EVENT_IMU_MONO: image-clock joint mode with an inertial image
+    tracker; metric after IMU init, event twin map still initialized."""
+    world = ExcitedEventWorld(n_points=260, seed=9)
+    calib = pre_mod.make_calib(freq=200.0)
+    slam = event_inertial.EvImageInertialSlam(
+        CAM, calib, cfg=make_cfg(), img_w=W, img_h=H,
+        max_kp=384, ev_max_kp=256, synch_window_s=0.2,
+        K=24, M=2048, min_init_matches=30, min_track_inliers=8,
+        min_kf_imu_init=6, min_time_imu_init=1.0,
+    )
+    fps, t_end = 15.0, 3.2
+    frame_ts = np.arange(0.0, t_end, 1.0 / fps)
+    ev = world.events(0.0, t_end, 90000)
+    imu_all, imu_ts = imu_from_pose(world.pose, 0.0, t_end, hz=200.0)
+
+    last = 0.0
+    for t in frame_ts:
+        t = float(t)
+        chunk = ev[(ev[:, 0] > last) & (ev[:, 0] <= t)]
+        img = render_frame(world, t)
+        slam.track_ev_mono(chunk, img, t,
+                           imu=imu_slice(imu_all, imu_ts, last, t))
+        last = t
+
+    s = slam.stats
+    assert s["im"]["kf"] >= 2, s
+    assert s["ev"]["kf"] >= 2, s
+    assert slam.im.imu_initialized, s
+
+    traj = slam.trajectory_twc()
+    gt = [(t, np.linalg.inv(world.pose(t))) for t, _ in traj]
+    rmse, n, _, _, _ = ate.ate_rmse(traj, gt, with_scale=False, max_dt=0.05)
+    assert n >= 6
+    assert rmse < 0.15, (rmse, s)
