@@ -56,6 +56,10 @@ def build_system(st: cfg_mod.Settings):
     )
     s = st.sensor
     if s is SensorConfig.MONOCULAR:
+        if st.features.mode == 2:  # mixed ORB+AKAZE (Features.mode: 2)
+            from eorb_slam_tpu.slam.system import MixedMonoSlam
+
+            return MixedMonoSlam(cam, **kw)
         from eorb_slam_tpu.slam.system import MonoSlam
 
         return MonoSlam(cam, **kw)

@@ -138,6 +138,31 @@ def undistort_points(params, uv):
     return pinhole_project_linear(params, ray)
 
 
+def build_rectify_map(params, w: int, h: int, model: int = 0):
+    """Per-pixel undistortion lookup (H,W,2): raw sensor pixel -> undistorted
+    pixel in the SAME linear intrinsics. The event loaders apply it per
+    event at load (reference MyCalibrator's precomputed cv::remap maps +
+    EventDataStore's rectify-at-load path, include/Utils/MyCalibrator.h:
+    23-97, include/Event/EventLoader.h:15-50).
+
+    model: PINHOLE (radial-tangential) or FISHEYE_KB8. Returned as a jitted
+    batch over the pixel grid — one device call per calibration, cached by
+    the caller."""
+    import numpy as np
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    uv = jnp.stack([xs, ys], axis=-1).reshape(-1, 2)
+    if model == FISHEYE_KB8:
+        ray = kb8_unproject(params, uv)
+        out = pinhole_project_linear(params, ray)
+    else:
+        out = undistort_points(params, uv)
+    return np.asarray(out).reshape(h, w, 2)
+
+
 # ------------------------------------------------------------------------ KB8
 
 

@@ -111,6 +111,23 @@ def detect_grid(
     h, w = img.shape
     s_hi = nms3x3(fast_score(img, threshold))
     s_lo = nms3x3(fast_score(img, min_threshold))
+    return select_grid(s_hi, s_lo, cell=cell, per_cell=per_cell,
+                       max_kp=max_kp, border=border)
+
+
+def select_grid(
+    s_hi: jnp.ndarray,
+    s_lo: jnp.ndarray | None = None,
+    cell: int = 32,
+    per_cell: int = 4,
+    max_kp: int = 1024,
+    border: int = 16,
+):
+    """Grid-uniform top-K selection from a response map (the quad-tree
+    distribution equivalent): per-cell top-`per_cell`, then global
+    top-`max_kp`. ``s_lo`` is the low-threshold fallback used in cells where
+    ``s_hi`` is empty. Shared by FAST (ORB) and Hessian (AKAZE) detectors."""
+    h, w = s_hi.shape
 
     # static grid
     gh, gw = h // cell, w // cell
@@ -122,9 +139,12 @@ def detect_grid(
         )
 
     c_hi = cellify(s_hi)
-    c_lo = cellify(s_lo)
-    has_hi = jnp.any(c_hi > 0, axis=-1, keepdims=True)
-    c = jnp.where(has_hi, c_hi, c_lo)
+    if s_lo is not None:
+        c_lo = cellify(s_lo)
+        has_hi = jnp.any(c_hi > 0, axis=-1, keepdims=True)
+        c = jnp.where(has_hi, c_hi, c_lo)
+    else:
+        c = c_hi
 
     # mask image border margin (keypoints too close to the edge are useless
     # for descriptors; reference uses EDGE_THRESHOLD=19)

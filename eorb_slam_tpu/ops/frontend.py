@@ -104,3 +104,34 @@ def extract(
     # accidental agreement (their distance is forced by the valid mask too)
     desc_pm1 = desc_pm1 * valid[:, None].astype(jnp.int8)
     return Features(xy, angle, octave, response, desc, desc_pm1, valid)
+
+
+def extract_mixed(
+    img: jnp.ndarray,
+    max_kp: int = 1024,
+    orb_frac: float = 0.5,
+    **akaze_kw,
+):
+    """Mixed ORB + AKAZE extraction (reference MixedFrame, Features.mode 2,
+    include/MixedFrame.h:60-209): one fixed-capacity Features whose first
+    ``round(orb_frac*max_kp)`` slots are ORB keypoints and the rest AKAZE
+    (MLDB-256), plus a (K,) int32 channel array (0=ORB, 1=AKAZE).
+
+    Slot-partitioning replaces the reference's per-point descriptor-type
+    dispatch: channels are index-determined, and cross-channel descriptor
+    confusion is statistically nil (random 256-bit Hamming ~ N(128, 8), ten
+    sigma from any match threshold) — the reference separates them only
+    because ORB (32 B) and MLDB (61 B) buffers differ mechanically."""
+    from eorb_slam_tpu.ops import akaze
+
+    n_orb = int(round(max_kp * orb_frac))
+    n_ak = max_kp - n_orb
+    f_orb = extract(img, max_kp=n_orb)
+    f_ak = akaze.extract_akaze(img, max_kp=n_ak, **akaze_kw)
+    cat = Features(*[
+        jnp.concatenate([a, b]) for a, b in zip(f_orb, f_ak)
+    ])
+    channel = jnp.concatenate([
+        jnp.zeros(n_orb, jnp.int32), jnp.ones(n_ak, jnp.int32)
+    ])
+    return cat, channel

@@ -124,3 +124,10 @@ def level_mask(
 ) -> jnp.ndarray:
     """(N,M) bool: pyramid-level compatibility gate."""
     return jnp.abs(lv1[:, None] - lv2[None, :]) <= max_diff
+
+
+def channel_mask(ch1: jnp.ndarray, ch2: jnp.ndarray) -> jnp.ndarray:
+    """(N,M) bool: same-descriptor-channel gate for mixed ORB/AKAZE frames
+    (reference MixedMatcher never compares ORB against MLDB descriptors,
+    include/MixedMatcher.h:15-67)."""
+    return ch1[:, None] == ch2[None, :]

@@ -426,3 +426,32 @@ class MonoSlam:
                 Tcw = T_rel @ kf_T[ref]
                 out.append((ts, np.linalg.inv(Tcw)))
         return out
+
+
+class MixedMonoSlam(MonoSlam):
+    """Monocular SLAM over mixed ORB + AKAZE features (the reference's
+    ``Features.mode: 2`` MixedFrame pipeline, include/MixedFrame.h:60-209).
+
+    Frame slots are channel-partitioned (first ``orb_frac`` ORB, rest
+    AKAZE/MLDB-256); all downstream matching/BA is channel-agnostic because
+    both descriptors share the 256-bit ±1 layout and cross-channel Hamming
+    collisions are statistically nil (see ops/frontend.extract_mixed)."""
+
+    def __init__(self, cam_params, orb_frac: float = 0.5, **kw):
+        super().__init__(cam_params, **kw)
+        self.orb_frac = orb_frac
+
+    def process_image(self, img: jnp.ndarray, ts: float,
+                      max_kp: Optional[int] = None):
+        from eorb_slam_tpu.ops import frontend as fe
+
+        if max_kp is None:
+            max_kp = self.map.N
+        feats, channel = fe.extract_mixed(img, max_kp=max_kp,
+                                          orb_frac=self.orb_frac)
+        xy_ud = cam_mod.undistort_points(self.cam, feats.xy)
+        self.last_channel = channel
+        return self.process_features(
+            FrameInput(ts, xy_ud, feats.octave, feats.angle,
+                       feats.desc_pm1, feats.valid)
+        )

@@ -86,3 +86,34 @@ def test_project_jit_batch():
     out = f(pts)
     assert out.shape == (1024, 2)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestRectifyMap:
+    def test_identity_when_undistorted(self):
+        cam = camera.make_pinhole(200.0, 200.0, 120.0, 90.0)
+        m = camera.build_rectify_map(cam, w=40, h=30)
+        ys, xs = np.mgrid[0:30, 0:40]
+        assert np.abs(m[..., 0] - xs).max() < 1e-3
+        assert np.abs(m[..., 1] - ys).max() < 1e-3
+
+    def test_radial_distortion_moves_corners(self):
+        # k1=-0.15: barrel distortion that stays invertible out to the
+        # corners (k1=-0.3 has no undistortion solution at r_d=0.75)
+        cam = camera.make_pinhole(200.0, 200.0, 120.0, 90.0, k1=-0.15)
+        m = camera.build_rectify_map(cam, w=240, h=180)
+        # center pixel barely moves, corners move a lot
+        assert np.linalg.norm(m[90, 120] - [120, 90]) < 0.5
+        assert np.linalg.norm(m[0, 0] - [0, 0]) > 5.0
+        # event rectification path consumes the map
+        from eorb_slam_tpu.io.datasets import EventStream
+        ev = np.asarray([[0.0, 0.0, 0.0, 1.0], [0.1, 120.0, 90.0, 0.0]])
+        s = EventStream(ev.copy(), rectify_map=m)
+        assert np.allclose(s.events[1, 1:3], [120, 90], atol=0.5)
+        assert not np.allclose(s.events[0, 1:3], [0, 0], atol=1.0)
+
+    def test_kb8_map(self):
+        cam = camera.make_kb8(150.0, 150.0, 30.0, 22.5, k1=0.02, k2=-0.003)
+        m = camera.build_rectify_map(cam, w=60, h=45, model=camera.FISHEYE_KB8)
+        assert np.isfinite(m).all()
+        # principal point is a fixed point of the rectification
+        assert np.linalg.norm(m[22, 30] - [30, 22]) < 1.5
