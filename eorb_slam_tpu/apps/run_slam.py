@@ -195,6 +195,20 @@ def run_sequence(
                                feats.desc_pm1, feats.valid),
                     _imu_chunk(seq, t_prev, t),
                 )
+            elif s is SensorConfig.STEREO:
+                img_r = seq.image_right(i) * 255.0
+                slam.process_stereo(jnp.asarray(img, jnp.float32),
+                                    jnp.asarray(img_r, jnp.float32), t)
+            elif s is SensorConfig.IMU_STEREO:
+                img_r = seq.image_right(i) * 255.0
+                slam.process_stereo_imu(
+                    jnp.asarray(img, jnp.float32),
+                    jnp.asarray(img_r, jnp.float32), t,
+                    _imu_chunk(seq, t_prev, t),
+                )
+            elif s is SensorConfig.RGBD:
+                slam.process_rgbd(jnp.asarray(img, jnp.float32),
+                                  jnp.asarray(seq.depth(i), jnp.float32), t)
             elif s in (SensorConfig.EVENT_MONO, SensorConfig.EVENT_IMU_MONO):
                 ev = (
                     seq.events.next_chunk_until(t)
@@ -207,10 +221,7 @@ def run_sequence(
                 else:
                     slam.track_ev_mono(ev, img, t)
             else:
-                raise ValueError(
-                    f"sensor {s} needs stereo/depth data; provide a custom "
-                    "driver (stereo/RGB-D loaders return mono sequences here)"
-                )
+                raise ValueError(f"unsupported sensor config: {s}")
             main_timer.toc()
             last_t = t
             if pace:

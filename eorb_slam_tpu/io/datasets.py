@@ -137,9 +137,22 @@ class Sequence:
     events: Optional[EventStream] = None
     gt_ts: Optional[np.ndarray] = None    # (G,)
     gt_pose: Optional[np.ndarray] = None  # (G,7) tx ty tz qx qy qz qw
+    right_paths: Optional[list] = None    # stereo right images (cam1)
+    depth_paths: Optional[list] = None    # RGB-D depth images
+    depth_factor: float = 5000.0          # TUM depth png scale (mm*5)
 
     def image(self, i: int) -> np.ndarray:
         return _load_image(self.image_paths[i])
+
+    def image_right(self, i: int) -> np.ndarray:
+        return _load_image(self.right_paths[i])
+
+    def depth(self, i: int) -> np.ndarray:
+        """Metric depth map (meters); 0 = no reading (TUM convention)."""
+        from PIL import Image
+
+        arr = np.asarray(Image.open(self.depth_paths[i]), np.float32)
+        return arr / self.depth_factor
 
     @property
     def n_frames(self) -> int:
@@ -167,6 +180,15 @@ def load_euroc(root: str, sequence: str, ts_factor: float = 1.0e9) -> Sequence:
             paths.append(os.path.join(img_dir, parts[1].strip()))
     image_ts = np.asarray(ts_list, np.float64)
 
+    # stereo right camera (cam1) when present — same filenames by EuRoC
+    # convention (hardware-synchronized shutters)
+    right_paths = None
+    cam1_dir = os.path.join(seq_root, "cam1", "data")
+    if os.path.isdir(cam1_dir):
+        rp = [os.path.join(cam1_dir, os.path.basename(p)) for p in paths]
+        if all(os.path.exists(p) for p in rp[:3]):
+            right_paths = rp
+
     imu = None
     imu_csv = os.path.join(seq_root, "imu0", "data.csv")
     if os.path.exists(imu_csv):
@@ -191,7 +213,100 @@ def load_euroc(root: str, sequence: str, ts_factor: float = 1.0e9) -> Sequence:
 
     return Sequence(
         name=sequence, image_ts=image_ts, image_paths=paths, imu=imu,
-        gt_ts=gt_ts, gt_pose=gt_pose,
+        gt_ts=gt_ts, gt_pose=gt_pose, right_paths=right_paths,
+    )
+
+
+def load_tum_rgbd(root: str, sequence: str, max_dt: float = 0.02,
+                  **_kw) -> Sequence:
+    """TUM RGB-D format: per-sequence dir with `rgb.txt` / `depth.txt`
+    (`ts path` lines) + `groundtruth.txt` (ts tx ty tz qx qy qz qw).
+    RGB and depth are associated by nearest timestamp (the dataset's own
+    associate.py protocol). Reference's TumRgbdLoader is a 2-line stub —
+    this is a working implementation."""
+    seq_root = os.path.join(root, sequence)
+
+    def read_index(name):
+        ts, paths = [], []
+        p = os.path.join(seq_root, name)
+        if not os.path.exists(p):
+            return np.zeros(0), []
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                a, b = line.split()[:2]
+                ts.append(float(a))
+                paths.append(os.path.join(seq_root, b))
+        return np.asarray(ts, np.float64), paths
+
+    rgb_ts, rgb_paths = read_index("rgb.txt")
+    dep_ts, dep_paths = read_index("depth.txt")
+
+    # associate depth to rgb by nearest ts within max_dt
+    image_ts, image_paths, depth_paths = [], [], []
+    for t, p in zip(rgb_ts, rgb_paths):
+        if len(dep_ts) == 0:
+            break
+        j = int(np.clip(np.searchsorted(dep_ts, t), 1, len(dep_ts) - 1))
+        j = j - 1 if abs(dep_ts[j - 1] - t) < abs(dep_ts[j] - t) else j
+        if abs(dep_ts[j] - t) <= max_dt:
+            image_ts.append(t)
+            image_paths.append(p)
+            depth_paths.append(dep_paths[j])
+
+    gt_ts = gt_pose = None
+    gt_txt = os.path.join(seq_root, "groundtruth.txt")
+    if os.path.exists(gt_txt):
+        arr = np.loadtxt(gt_txt, dtype=np.float64, ndmin=2, comments="#")
+        gt_ts, gt_pose = arr[:, 0], arr[:, 1:8]
+
+    return Sequence(
+        name=sequence, image_ts=np.asarray(image_ts, np.float64),
+        image_paths=image_paths, depth_paths=depth_paths,
+        gt_ts=gt_ts, gt_pose=gt_pose, depth_factor=5000.0,
+    )
+
+
+def load_kitti(root: str, sequence: str, **_kw) -> Sequence:
+    """KITTI odometry format: sequences/NN/{image_0,image_1}/*.png +
+    times.txt; GT poses from poses/NN.txt (3x4 row-major Twc, cam0 frame).
+    Reference's KittiLoader is a stub — this is a working implementation."""
+    seq_root = os.path.join(root, "sequences", sequence)
+    times = np.loadtxt(os.path.join(seq_root, "times.txt"),
+                       dtype=np.float64, ndmin=1)
+    img0 = sorted(
+        os.path.join(seq_root, "image_0", f)
+        for f in os.listdir(os.path.join(seq_root, "image_0"))
+        if f.endswith(".png")
+    )
+    img1_dir = os.path.join(seq_root, "image_1")
+    right = None
+    if os.path.isdir(img1_dir):
+        right = [os.path.join(img1_dir, os.path.basename(p)) for p in img0]
+
+    gt_ts = gt_pose = None
+    pose_txt = os.path.join(root, "poses", f"{sequence}.txt")
+    if os.path.exists(pose_txt):
+        arr = np.loadtxt(pose_txt, dtype=np.float64, ndmin=2)
+        n = min(len(arr), len(times))
+        from eorb_slam_tpu.geometry import lie
+        import jax.numpy as jnp
+
+        quats = []
+        for r in arr[:n]:
+            R = r.reshape(3, 4)[:, :3]
+            q = np.asarray(lie.quat_from_mat(jnp.asarray(R, jnp.float32)))
+            quats.append([q[1], q[2], q[3], q[0]])   # -> xyzw
+        gt_ts = times[:n]
+        gt_pose = np.concatenate(
+            [arr[:n].reshape(n, 3, 4)[:, :, 3], np.asarray(quats)], axis=1
+        )
+
+    return Sequence(
+        name=sequence, image_ts=times[: len(img0)], image_paths=img0,
+        right_paths=right, gt_ts=gt_ts, gt_pose=gt_pose,
     )
 
 
@@ -200,6 +315,7 @@ def load_ev_ethz(
     sequence: str,
     rectify_map: Optional[np.ndarray] = None,
     max_events: Optional[int] = None,
+    **_kw,  # ts_factor etc. — EV-ETHZ timestamps are already seconds
 ) -> Sequence:
     """EV-ETHZ (Event Camera Dataset) format: per-sequence directory with
     `events.txt` (ts x y p, seconds), `images.txt` (ts path), `imu.txt`
@@ -275,4 +391,8 @@ def load_sequence(fmt: str, root: str, sequence: str, **kw) -> Sequence:
         return load_ev_ethz(root, sequence, **kw)
     if fmt == "mvsec":
         return load_mvsec(root, sequence, **kw)
+    if fmt == "tum_rgbd":
+        return load_tum_rgbd(root, sequence, **kw)
+    if fmt == "kitti":
+        return load_kitti(root, sequence, **kw)
     raise ValueError(f"unknown dataset format {fmt!r}")

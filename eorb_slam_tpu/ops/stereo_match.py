@@ -62,6 +62,15 @@ def stereo_match(
         pair_mask=pair, max_dist=matching.TH_HIGH, nn_ratio=0.9, mutual=True,
     )
     matched = m_lr >= 0
+
+    # distance-statistic pruning (reference ComputeStereoMatches' final
+    # pass: discard matches with dist > 1.5*1.4*median over the matched
+    # set, src/Frame.cc) — kills epipolar aliases on repetitive texture
+    d_sorted = jnp.sort(jnp.where(matched, dist, matching.BIG))
+    n_m = jnp.sum(matched)
+    med = d_sorted[jnp.clip(n_m // 2, 0, dist.shape[0] - 1)]
+    matched = matched & (dist <= 1.5 * 1.4 * jnp.maximum(med, 1))
+
     idx_r = jnp.where(matched, m_lr, 0)
     disp_m = xy_l[:, 0] - xy_r[idx_r, 0]
     ok = matched & (disp_m > 1e-3)

@@ -77,8 +77,10 @@ class StereoSlam(_DepthInitMixin, MonoSlam):
 
     def make_stereo_frame(
         self, img_l: jnp.ndarray, img_r: jnp.ndarray, ts: float,
-        max_kp: int = 512,
+        max_kp: int | None = None,
     ) -> FrameInput:
+        if max_kp is None:
+            max_kp = self.map.N  # frame capacity == extraction budget
         fl = frontend.extract(img_l, max_kp=max_kp)
         fr = frontend.extract(img_r, max_kp=max_kp)
         xy_l = cam_mod.undistort_points(self.cam, fl.xy)
@@ -91,7 +93,8 @@ class StereoSlam(_DepthInitMixin, MonoSlam):
         return FrameInput(ts, xy_l, fl.octave, fl.angle, fl.desc_pm1,
                           fl.valid, depth=depth)
 
-    def process_stereo(self, img_l, img_r, ts: float, max_kp: int = 512):
+    def process_stereo(self, img_l, img_r, ts: float,
+                       max_kp: int | None = None):
         return self.process_features(
             self.make_stereo_frame(
                 jnp.asarray(img_l, jnp.float32),
@@ -109,8 +112,10 @@ class RgbdSlam(_DepthInitMixin, MonoSlam):
 
     def make_rgbd_frame(
         self, img: jnp.ndarray, depth_map: jnp.ndarray, ts: float,
-        max_kp: int = 512,
+        max_kp: int | None = None,
     ) -> FrameInput:
+        if max_kp is None:
+            max_kp = self.map.N
         ft = frontend.extract(img, max_kp=max_kp)
         xy_ud = cam_mod.undistort_points(self.cam, ft.xy)
         # depth is sampled at the DISTORTED keypoint location (that is where
@@ -120,7 +125,8 @@ class RgbdSlam(_DepthInitMixin, MonoSlam):
         return FrameInput(ts, xy_ud, ft.octave, ft.angle, ft.desc_pm1,
                           ft.valid, depth=d)
 
-    def process_rgbd(self, img, depth_map, ts: float, max_kp: int = 512):
+    def process_rgbd(self, img, depth_map, ts: float,
+                     max_kp: int | None = None):
         return self.process_features(
             self.make_rgbd_frame(
                 jnp.asarray(img, jnp.float32),
@@ -144,7 +150,7 @@ class StereoInertialSlam(_DepthInitMixin, MonoInertialSlam):
     make_stereo_frame = StereoSlam.make_stereo_frame
 
     def process_stereo_imu(self, img_l, img_r, ts: float, imu: ImuChunk,
-                           max_kp: int = 512):
+                           max_kp: int | None = None):
         f = self.make_stereo_frame(
             jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
             ts, max_kp,
