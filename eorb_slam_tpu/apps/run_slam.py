@@ -304,6 +304,10 @@ def main(argv=None):
     p.add_argument("--eval", action="store_true", dest="do_eval")
     p.add_argument("--pace", action="store_true",
                    help="sleep to dataset frame rate (real-time pacing)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a JAX profiler trace of the run into DIR "
+                        "(the reference's SAVE_TIMES/MySmartTimer analog, "
+                        "SURVEY.md 5.1 — view with TensorBoard)")
     args = p.parse_args(argv)
 
     st = cfg_mod.load_settings(args.settings)
@@ -313,16 +317,26 @@ def main(argv=None):
     elif st.dataset.seq_target >= 0:
         seqs = [seqs[st.dataset.seq_target]]
 
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        prof = jax.profiler.trace(args.profile)
+
     results = []
     for name in seqs:
         seq = datasets.load_sequence(
             st.dataset.format, st.dataset.root, name,
             ts_factor=st.dataset.ts_factor,
         )
-        slam, out = run_sequence(
-            st, seq, out_dir=args.out, max_frames=args.max_frames,
-            pace=args.pace,
-        )
+        with prof:
+            slam, out = run_sequence(
+                st, seq, out_dir=args.out, max_frames=args.max_frames,
+                pace=args.pace,
+            )
+        prof = contextlib.nullcontext()  # only trace the first sequence
         if args.do_eval and "trajectory_file" in out:
             out["eval"] = evaluate(
                 seq, out["trajectory_file"],

@@ -130,10 +130,14 @@ def pinhole_project_jac_point(params, pts3d):
     return jnp.stack([row0, row1], axis=-2)
 
 
+@jax.jit
 def undistort_points(params, uv):
     """Distorted observed pixels -> undistorted pixels (linear model).
 
-    Equivalent of Frame::UndistortKeyPoints / MyCalibrator::undistPoint."""
+    Equivalent of Frame::UndistortKeyPoints / MyCalibrator::undistPoint.
+    Jitted at top level: it is called eagerly once per frame, and the
+    20-step fixed-point loop would otherwise dispatch ~100 tiny eager ops
+    (catastrophic over a remote-TPU link)."""
     ray = pinhole_unproject(params, uv)
     return pinhole_project_linear(params, ray)
 

@@ -31,6 +31,27 @@ LOST = 2
 RECENTLY_LOST = 3
 
 
+@jax.jit
+def _track_flags(res):
+    """Pack the per-frame host decisions into ONE device->host pull:
+    [n_inliers, all-finite]. Every separate int()/bool() on a device value
+    is a blocking round trip — ruinous on a remote-TPU link."""
+    return jnp.stack([
+        res.n_inliers.astype(jnp.float32),
+        jnp.isfinite(res.Tcw).all().astype(jnp.float32),
+    ])
+
+
+@jax.jit
+def _post_track_update(Tcw, T_last, kf_T_ref):
+    """One fused dispatch for the per-frame pose algebra: motion model,
+    and the trajectory entry relative to the reference keyframe. Eager
+    4x4 matrix ops would each be a separate device call."""
+    vel = Tcw @ lie.se3_inv(T_last)
+    T_rel = Tcw @ lie.se3_inv(kf_T_ref)
+    return vel, T_rel
+
+
 @dataclasses.dataclass
 class FrameInput:
     """Pre-extracted features for one frame (undistorted coords)."""
@@ -66,6 +87,8 @@ class MonoSlam:
         kf_inlier_ratio: float = 0.7,
         max_frames_between_kf: int = 10,
         seed: int = 0,
+        loop_words: Optional[jnp.ndarray] = None,
+        loop_min_gap: int = 8,
     ):
         self.cam = cam_params
         self.img_w, self.img_h = img_w, img_h
@@ -104,6 +127,19 @@ class MonoSlam:
         self.lost_frames = 0
         self.lost_grace = 5
         self._traj_frozen: list[tuple[float, np.ndarray]] = []
+        self._last_kf_ts: Optional[float] = None  # host cache (no device pull)
+        # in-the-loop place recognition (reference spawns a LoopClosing
+        # thread per System; here it runs inline at KF insertion, gated by
+        # a minimum temporal gap like NewDetectCommonRegions' consistency)
+        self.loop_closer = None
+        self.loop_min_gap = loop_min_gap
+        self.loops_closed = 0
+        if loop_words is not None:
+            from eorb_slam_tpu.slam import loop_closing as lc_mod
+
+            self.loop_closer = lc_mod.LoopCloser(
+                cam_params, loop_words, Kmax=K
+            )
 
     # ------------------------------------------------------------- map/atlas
 
@@ -218,8 +254,12 @@ class MonoSlam:
         self.velocity = jnp.eye(4)
         self.frames_since_kf = 0
         self.n_inliers_ref = int(np.asarray(ok).sum())
+        self._last_kf_ts = f.ts
         self._log_pose(f.ts, self.T_last)
         self.stats["kf"] = 2
+        if self.loop_closer is not None:
+            self.loop_closer.add_keyframe(self.map, 0)
+            self.loop_closer.add_keyframe(self.map, 1)
         self.stats["lm"] = int(self.map.lm_valid.sum())
         return {"state": self.state, "n": n, "n_pts": self.stats["lm"]}
 
@@ -232,7 +272,8 @@ class MonoSlam:
             self.map, self.cam, f.xy_ud, f.octave, f.desc_pm1, f.valid,
             T_pred, img_w=self.img_w, img_h=self.img_h,
         )
-        n_inl = int(res.n_inliers)
+        n_inl, finite = (float(x) for x in np.asarray(_track_flags(res)))
+        n_inl = int(n_inl)
 
         if n_inl < self.min_track_inliers:
             # wider re-search around the last pose (motion model may be off;
@@ -242,11 +283,12 @@ class MonoSlam:
                 self.T_last, img_w=self.img_w, img_h=self.img_h,
                 search_radius=40.0, nn_ratio=0.95,
             )
-            n_inl = int(res.n_inliers)
+            n_inl, finite = (float(x) for x in np.asarray(_track_flags(res)))
+            n_inl = int(n_inl)
             if n_inl < self.min_track_inliers:
                 return self._handle_lost(f, n_inl)
 
-        if not bool(jnp.isfinite(res.Tcw).all()):
+        if not finite:
             # a degenerate GN solve must not poison T_last / the trajectory
             return self._handle_lost(f, 0)
 
@@ -254,10 +296,15 @@ class MonoSlam:
         self.lost_frames = 0
         self.state = OK
         Tcw = res.Tcw
-        self.velocity = Tcw @ lie.se3_inv(self.T_last)
+        ref = max(self.n_kf - 1, 0)
+        self.velocity, T_rel = _post_track_update(
+            Tcw, self.T_last, self.map.kf_T[ref]
+        )
         self.T_last = Tcw
         self.frames_since_kf += 1
-        self._log_pose(f.ts, Tcw)
+        # trajectory entry stays ON DEVICE (no per-frame sync); readers
+        # np.asarray it on demand (trajectory_twc / freeze / rescale)
+        self.trajectory.append((f.ts, T_rel, ref))
 
         # keyframe policy (simplified NeedNewKeyFrame, src/Tracking.cc:2083)
         need_kf = self.n_kf < self.map.K and (
@@ -346,10 +393,13 @@ class MonoSlam:
         kf_T = np.asarray(self.map.kf_T)
         for ts, T_rel, ref in self.trajectory:
             if T_rel is not None:
-                self._traj_frozen.append((ts, np.linalg.inv(T_rel @ kf_T[ref])))
+                self._traj_frozen.append(
+                    (ts, np.linalg.inv(np.asarray(T_rel) @ kf_T[ref]))
+                )
         self.trajectory = []
 
     def _insert_keyframe(self, f: FrameInput, res: tracking.TrackResult):
+        self._last_kf_ts = f.ts
         slot = jnp.asarray(self.n_kf)
         self.map = map_state.insert_keyframe(
             self.map, slot, res.Tcw, f.ts, f.xy_ud, f.octave, f.angle,
@@ -384,6 +434,21 @@ class MonoSlam:
         )
         self.T_last = self.map.kf_T[self.n_kf - 1]
         self.stats["kf"] = self.n_kf
+
+        # place recognition + loop correction (reference LoopClosing::Run
+        # consumes every new KF; inline here instead of a thread)
+        if self.loop_closer is not None:
+            q = self.n_kf - 1
+            self.loop_closer.add_keyframe(self.map, q)
+            if q >= self.loop_min_gap:
+                self.map, info = self.loop_closer.detect_and_correct(
+                    self.map, q
+                )
+                if info.detected:
+                    self.loops_closed += 1
+                    self.T_last = self.map.kf_T[q]
+                    self.velocity = jnp.eye(4)
+                    self.stats["loops"] = self.loops_closed
         self.stats["lm"] = int(self.map.lm_valid.sum())
 
     # ------------------------------------------------------------- output
@@ -410,7 +475,7 @@ class MonoSlam:
         out = []
         for ts, T_rel, ref in self.trajectory:
             if T_rel is not None:
-                T_rel = T_rel.copy()
+                T_rel = np.asarray(T_rel).copy()
                 T_rel[:3, 3] *= s
             out.append((ts, T_rel, ref))
         self.trajectory = out
@@ -423,7 +488,7 @@ class MonoSlam:
         out = list(self._traj_frozen)
         for ts, T_rel, ref in self.trajectory:
             if T_rel is not None:
-                Tcw = T_rel @ kf_T[ref]
+                Tcw = np.asarray(T_rel) @ kf_T[ref]
                 out.append((ts, np.linalg.inv(Tcw)))
         return out
 

@@ -46,6 +46,30 @@ def _stack_identity_pre(K: int) -> pre_mod.Preintegrated:
     )
 
 
+@jax.jit
+def _imu_predict(T_last, vel, pre_last, bg, ba, Tbc):
+    """Fused PredictStateIMU: body-frame forward integration of the last
+    inter-frame preintegration, returned as (T_pred, motion-model velocity,
+    body velocity)."""
+    Twb = pre_mod.Twb_from_Tcw(T_last, Tbc)
+    R2, p2, v2 = pre_mod.predict_state(
+        Twb[:3, :3], Twb[:3, 3], vel, pre_last, bg, ba
+    )
+    Twb2 = jnp.eye(4).at[:3, :3].set(R2).at[:3, 3].set(p2)
+    T_pred = pre_mod.Tcw_from_Twb(Twb2, Tbc)
+    return T_pred, T_pred @ lie.se3_inv(T_last), v2
+
+
+@jax.jit
+def _visual_velocity(T_prev, T_cur, dt, vel_fallback, Tbc):
+    """Body velocity from the finite difference of optimized poses; keeps
+    the predicted velocity when the window is degenerate (dt ~ 0)."""
+    p1 = pre_mod.Twb_from_Tcw(T_prev, Tbc)[:3, 3]
+    p2 = pre_mod.Twb_from_Tcw(T_cur, Tbc)[:3, 3]
+    v = (p2 - p1) / jnp.maximum(dt, 1e-4)
+    return jnp.where(dt > 1e-4, v, vel_fallback)
+
+
 class MonoInertialSlam(MonoSlam):
     """Monocular + IMU pipeline (config 2 of BASELINE.json)."""
 
@@ -117,33 +141,31 @@ class MonoInertialSlam(MonoSlam):
 
     def _track(self, f: FrameInput):
         if self.imu_initialized:
-            # IMU dead-reckoning motion model (PredictStateIMU)
-            Twb = pre_mod.Twb_from_Tcw(self.T_last, self.calib.Tbc)
-            R2, p2, v2 = pre_mod.predict_state(
-                Twb[:3, :3], Twb[:3, 3], self.vel,
-                self.pre_last_frame, self.bg, self.ba,
+            # IMU dead-reckoning motion model (PredictStateIMU) — one
+            # fused dispatch (eager 4x4 algebra would round-trip per op)
+            T_pred, vel_mm, v2 = _imu_predict(
+                self.T_last, self.vel, self.pre_last_frame,
+                self.bg, self.ba, self.calib.Tbc,
             )
-            Twb2 = jnp.eye(4).at[:3, :3].set(R2).at[:3, 3].set(p2)
-            T_pred = pre_mod.Tcw_from_Twb(Twb2, self.calib.Tbc)
-            self.velocity = T_pred @ lie.se3_inv(self.T_last)
+            self.velocity = vel_mm
             self.vel = v2
         T_prev = self.T_last
         out = super()._track(f)
         if self.imu_initialized and out["state"] == OK:
             # correct the predicted velocity with the visually-optimized
             # pose (finite difference of body positions over the window)
-            dt = float(self.pre_last_frame.dt)
-            if dt > 1e-4:
-                p1 = pre_mod.Twb_from_Tcw(T_prev, self.calib.Tbc)[:3, 3]
-                p2 = pre_mod.Twb_from_Tcw(self.T_last, self.calib.Tbc)[:3, 3]
-                self.vel = (p2 - p1) / dt
+            self.vel = _visual_velocity(
+                T_prev, self.T_last, self.pre_last_frame.dt, self.vel,
+                self.calib.Tbc,
+            )
         return out
 
     def _need_kf_extra(self, f) -> bool:
-        if self.n_kf == 0:
+        # host-cached timestamp: pulling map.kf_ts off-device every frame
+        # would be a blocking round trip
+        if self.n_kf == 0 or self._last_kf_ts is None:
             return False
-        last_ts = float(np.asarray(self.map.kf_ts)[self.n_kf - 1])
-        return (f.ts - last_ts) >= self.max_kf_dt
+        return (f.ts - self._last_kf_ts) >= self.max_kf_dt
 
     def _insert_keyframe(self, f: FrameInput, res):
         slot = self.n_kf

@@ -168,7 +168,8 @@ def test_ev_ethz_loader(tmp_path):
     seq.events.rewind(1)
     c2 = seq.events.next_chunk_count(10)
     assert c2.shape == (2, 4)
-    assert c2[0, 0] == np.float32(0.03)
+    # events carry float64 timestamps now (precision, ADVICE #3)
+    assert abs(c2[0, 0] - 0.03) < 1e-9
     assert seq.events.exhausted
 
     # time-bounded chunks

@@ -308,3 +308,66 @@ def test_loop_closer_end_to_end_detects_and_corrects():
     err_after = np.abs(
         np.asarray(m2.kf_T)[:K, :3, 3] - T_gt[:, :3, 3]).max()
     assert err_after < err_before
+
+
+def test_mono_slam_inline_loop_closing():
+    """MonoSlam with loop_words set runs place recognition at every KF
+    insertion (the reference's LoopClosing thread, inline here). On a
+    drift-free synthetic out-and-back run the revisited keyframes stay
+    covisible with the originals, so NO loop may fire (false-positive
+    gate); correction-on-drift is covered by the synthetic-map test
+    above."""
+    from eorb_slam_tpu.event import tensorize
+    from eorb_slam_tpu.slam.system import MonoSlam
+    from eorb_slam_tpu.ops import frontend
+
+    W, H = 240, 180
+    FX = FY = 200.0
+    CX, CY = W / 2, H / 2
+    cam = camera.make_pinhole(FX, FY, CX, CY)
+    rng = np.random.default_rng(5)
+    # frontal point wall; camera goes out along +x and returns (out-and-back
+    # revisit: translation-only, monocular-friendly parallax throughout)
+    pts = np.stack([rng.uniform(-4, 4, 400), rng.uniform(-3, 3, 400),
+                    rng.uniform(6, 12, 400)], 1)
+    amp = rng.uniform(0.3, 1.0, 400)
+
+    def pose(t):
+        # t in [0,1]: x ramps 0 -> 1.5 -> 0 (triangle), slight y bow
+        x = 1.5 * (2 * t if t < 0.5 else 2 * (1 - t))
+        Tcw = np.eye(4, dtype=np.float32)
+        C = np.asarray([x, 0.15 * np.sin(2 * np.pi * t), 0.0])
+        Tcw[:3, 3] = -C
+        return Tcw
+
+    def render(Tcw):
+        pc = (Tcw[:3, :3] @ pts.T).T + Tcw[:3, 3]
+        uv = np.stack([FX * pc[:, 0] / pc[:, 2] + CX,
+                       FY * pc[:, 1] / pc[:, 2] + CY], 1).astype(np.float32)
+        ok = (pc[:, 2] > 0.5) & (uv[:, 0] >= 0) & (uv[:, 0] < W) \
+            & (uv[:, 1] >= 0) & (uv[:, 1] < H)
+        img = tensorize.splat_gauss(
+            jnp.asarray(uv), jnp.asarray(ok), jnp.asarray(amp, jnp.float32),
+            H, W, sigma=1.2)
+        return np.asarray(tensorize.normalize_to_image(img)) * 255.0
+
+    # vocabulary from the scene's own descriptors (stand-in for ORBvoc)
+    f0 = frontend.extract(jnp.asarray(render(pose(0.0)), jnp.float32),
+                          max_kp=256)
+    words = bow.train_vocab(f0.desc_pm1, 32, iters=3)
+
+    slam = MonoSlam(cam, img_w=W, img_h=H, N=256, K=48, M=4096,
+                    min_init_matches=30, min_track_inliers=8,
+                    max_frames_between_kf=3, loop_words=words,
+                    loop_min_gap=10)
+    n_frames = 48
+    for i in range(n_frames + 6):   # a bit past full circle
+        t = i / n_frames
+        slam.process_image(jnp.asarray(render(pose(t)), jnp.float32),
+                           float(i) * 0.1)
+    assert slam.stats["kf"] >= 12, slam.stats
+    assert slam.stats["lost"] == 0, slam.stats
+    # detection ran on every KF past the gap; the consistent map must not
+    # trigger a (false) loop, and the BoW database tracked all keyframes
+    assert slam.loops_closed == 0, slam.stats
+    assert int(np.asarray(slam.loop_closer.db.valid).sum()) == slam.stats["kf"]
