@@ -177,18 +177,19 @@ def run_sequence(
             t_prev = last_t if last_t is not None else t - 1.0 / max(
                 st.cam.fps, 1.0
             )
-            img = seq.image(i) * 255.0  # loader serves [0,1]; FAST
-            # thresholds (and the reference pipeline) are 8-bit units
+            # loader serves [0,1]; FAST thresholds (and the reference
+            # pipeline) are 8-bit units. uint8 keeps H2D transfers small.
+            img = (seq.image(i) * 255.0).astype(np.uint8)
             main_timer.tic()
             if s is SensorConfig.MONOCULAR:
-                slam.process_image(jnp.asarray(img, jnp.float32), t)
+                slam.process_image(jnp.asarray(img), t)  # uint8; extract
+                # casts on device
             elif s is SensorConfig.IMU_MONOCULAR:
                 from eorb_slam_tpu.ops import frontend
                 from eorb_slam_tpu.geometry import camera as cam_mod
                 from eorb_slam_tpu.slam.system import FrameInput
 
-                feats = frontend.extract(jnp.asarray(img, jnp.float32),
-                                         max_kp=slam.map.N)
+                feats = frontend.extract(jnp.asarray(img), max_kp=slam.map.N)
                 xy_ud = cam_mod.undistort_points(slam.cam, feats.xy)
                 slam.process_features_imu(
                     FrameInput(t, xy_ud, feats.octave, feats.angle,

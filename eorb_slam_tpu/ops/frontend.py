@@ -61,7 +61,12 @@ def extract(
     cell: int = 32,
     per_cell: int = 5,
 ) -> Features:
-    """img (H,W) float32 [0,255] -> Features with capacity max_kp."""
+    """img (H,W) [0,255] -> Features with capacity max_kp.
+
+    Accepts uint8 or float32; cast happens ON DEVICE so callers can ship
+    uint8 frames (4x less host->device traffic — the dominant per-frame
+    cost over a remote-TPU link)."""
+    img = img.astype(jnp.float32)
     levels = pyramid.build_pyramid(img, n_levels)
     quotas = level_quotas(max_kp, n_levels)
     scales = pyramid.scale_factors(n_levels)
