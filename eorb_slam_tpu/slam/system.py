@@ -140,6 +140,11 @@ class MonoSlam:
             self.loop_closer = lc_mod.LoopCloser(
                 cam_params, loop_words, Kmax=K
             )
+        # BoW databases of stored (lost) maps, keyed by atlas index — the
+        # retrieval side of cross-map merging (reference LoopClosing checks
+        # candidates over the whole Atlas, src/LoopClosing.cc:267)
+        self._stored_dbs: dict = {}
+        self.map_merges = 0
 
     # ------------------------------------------------------------- map/atlas
 
@@ -353,7 +358,16 @@ class MonoSlam:
         if self.n_kf < 10:
             self.atlas.reset_active()
         else:
+            old_active = self.atlas.active
             self.atlas.create_new_map()
+            if self.loop_closer is not None:
+                # stash the lost map's BoW index for cross-map merging
+                from eorb_slam_tpu.retrieval import bow as bow_mod
+
+                self._stored_dbs[old_active] = self.loop_closer.db
+                self.loop_closer.db = bow_mod.empty_database(
+                    self.map.K, int(self.loop_closer.words.shape[0])
+                )
         self.state = NOT_INITIALIZED
         self.n_kf = 0
         self.lost_frames = 0
@@ -449,7 +463,76 @@ class MonoSlam:
                     self.T_last = self.map.kf_T[q]
                     self.velocity = jnp.eye(4)
                     self.stats["loops"] = self.loops_closed
+            if self._stored_dbs and self.n_kf >= 4:
+                self._try_map_merge(q)
         self.stats["lm"] = int(self.map.lm_valid.sum())
+
+    def _try_map_merge(self, q: int):
+        """Cross-map common-region detection + Sim3 weld (reference
+        LoopClosing::MergeLocal, src/LoopClosing.cc:1301): query the stored
+        maps' BoW indexes with the new KF; on a hit, Sim3-RANSAC the two
+        KFs' landmark pairs and merge the stored map into the active one."""
+        from eorb_slam_tpu.geometry import sim3_solver
+        from eorb_slam_tpu.retrieval import bow as bow_mod
+
+        m = self.map
+        lc = self.loop_closer
+        _, bw = bow_mod.quantize(
+            m.kf_desc_pm1[q], m.kf_feat_valid[q], lc.words
+        )
+        for idx in list(self._stored_dbs):
+            db = self._stored_dbs[idx]
+            scores, cand_idx = bow_mod.detect_candidates(
+                db, bw, jnp.zeros(m.K, bool), top_k=1
+            )
+            if not np.isfinite(float(scores[0])) or float(scores[0]) <= 0:
+                continue
+            cand = int(cand_idx[0])
+            sto = self.atlas.maps[idx]
+            vq = m.kf_feat_valid[q] & (m.kf_feat_lm[q] >= 0)
+            vc = sto.kf_feat_valid[cand] & (sto.kf_feat_lm[cand] >= 0)
+            j, _ = matching.match_nnratio(
+                m.kf_desc_pm1[q], vq, sto.kf_desc_pm1[cand], vc,
+                nn_ratio=0.75,
+            )
+            valid = vq & (j >= 0)
+            if int(np.asarray(valid).sum()) < 15:
+                continue
+            lm_q = jnp.clip(m.kf_feat_lm[q], 0)
+            lm_c = jnp.clip(sto.kf_feat_lm[cand][jnp.clip(j, 0)], 0)
+            p1 = lie.se3_apply(m.kf_T[q], m.lm_pos[lm_q])
+            p2 = lie.se3_apply(sto.kf_T[cand], sto.lm_pos[lm_c])
+            self.key, k = jax.random.split(self.key)
+            res = sim3_solver.sim3_ransac(
+                p1, p2, valid, k,
+                px_threshold=jnp.full(p1.shape[0], 9.21, jnp.float32),
+                cam_params1=self.cam, cam_params2=self.cam,
+            )
+            if int(res.n_inliers) < 20:
+                continue
+            # res maps query-cam -> cand-cam; compose stored-world ->
+            # active-world: Twq o S^-1 o T_cand
+            Rq = m.kf_T[q][:3, :3]
+            tq = m.kf_T[q][:3, 3]
+            S_wq = (Rq.T, -Rq.T @ tq, jnp.asarray(1.0))
+            Si = lie.sim3_inv(res.R, res.t, res.s)
+            Tc = sto.kf_T[cand]
+            S_tc = (Tc[:3, :3], Tc[:3, 3], jnp.asarray(1.0))
+            S_total = lie.sim3_mul(*S_wq, *lie.sim3_mul(*Si, *S_tc))
+            self.map = self.atlas.merge(idx, *S_total)
+            # merged KFs filled the free slots from n_kf upward; keep the
+            # contiguous-slot invariant every insertion site relies on
+            self.n_kf = int(np.asarray(self.map.kf_valid).sum())
+            self.stats["kf"] = self.n_kf
+            # atlas indices shifted after deletion; re-key the stashes
+            del self._stored_dbs[idx]
+            self._stored_dbs = {
+                (i - 1 if i > idx else i): d
+                for i, d in self._stored_dbs.items()
+            }
+            self.map_merges += 1
+            self.stats["map_merges"] = self.map_merges
+            return
 
     # ------------------------------------------------------------- output
     #

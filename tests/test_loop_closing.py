@@ -371,3 +371,72 @@ def test_mono_slam_inline_loop_closing():
     # trigger a (false) loop, and the BoW database tracked all keyframes
     assert slam.loops_closed == 0, slam.stats
     assert int(np.asarray(slam.loop_closer.db.valid).sum()) == slam.stats["kf"]
+
+
+def test_cross_map_merge_after_loss():
+    """Track scene -> force loss (blank frames) -> new map on the same
+    scene -> the stored map's BoW index is hit and the Sim3 weld merges the
+    two maps (reference LoopClosing::MergeLocal via Atlas)."""
+    from eorb_slam_tpu.event import tensorize
+    from eorb_slam_tpu.slam.system import MonoSlam
+    from eorb_slam_tpu.ops import frontend
+
+    W, H = 240, 180
+    FX = FY = 200.0
+    cam = camera.make_pinhole(FX, FY, W / 2, H / 2)
+    rng = np.random.default_rng(8)
+    pts = np.stack([rng.uniform(-4, 4, 300), rng.uniform(-3, 3, 300),
+                    rng.uniform(6, 12, 300)], 1)
+    amp = rng.uniform(0.3, 1.0, 300)
+
+    def render(x, y=0.0):
+        Tcw = np.eye(4)
+        Tcw[:3, 3] = [-x, -y, 0.0]
+        pc = (Tcw[:3, :3] @ pts.T).T + Tcw[:3, 3]
+        uv = np.stack([FX * pc[:, 0] / pc[:, 2] + W / 2,
+                       FY * pc[:, 1] / pc[:, 2] + H / 2], 1).astype(np.float32)
+        ok = (pc[:, 2] > 0.5) & (uv[:, 0] >= 0) & (uv[:, 0] < W) \
+            & (uv[:, 1] >= 0) & (uv[:, 1] < H)
+        img = tensorize.splat_gauss(
+            jnp.asarray(uv), jnp.asarray(ok), jnp.asarray(amp, jnp.float32),
+            H, W, sigma=1.2)
+        return np.asarray(tensorize.normalize_to_image(img)) * 255.0
+
+    f0 = frontend.extract(jnp.asarray(render(0.0), jnp.float32), max_kp=256)
+    words = bow.train_vocab(f0.desc_pm1, 32, iters=3)
+    slam = MonoSlam(cam, img_w=W, img_h=H, N=256, K=32, M=4096,
+                    min_init_matches=30, min_track_inliers=8,
+                    max_frames_between_kf=2, loop_words=words,
+                    loop_min_gap=99)   # loop detection off; merge only
+    slam.lost_grace = 2
+
+    # phase 1: map the scene
+    for i, x in enumerate(np.arange(0.0, 1.4, 0.04)):
+        slam.process_image(jnp.asarray(render(float(x)), jnp.float32),
+                           0.1 * i)
+    kf_a = slam.stats["kf"]
+    # the atlas only STORES maps with >= 10 KFs (reference resets tiny maps)
+    assert kf_a >= 10, slam.stats
+
+    # phase 2: blackout until the atlas stores the map
+    blank = np.zeros((H, W), np.float32)
+    for k in range(6):
+        slam.process_image(jnp.asarray(blank), 10.0 + 0.1 * k)
+    assert slam.atlas.n_maps() == 2
+    assert len(slam._stored_dbs) == 1
+
+    # phase 3: re-map the same scene from a different spot; the new map
+    # initializes and the first KFs should trigger the cross-map merge
+    for i, x in enumerate(np.arange(0.3, 1.2, 0.06)):
+        slam.process_image(jnp.asarray(render(float(x), 0.05), jnp.float32),
+                           20.0 + 0.1 * i)
+
+    assert slam.map_merges >= 1, slam.stats
+    assert slam.atlas.n_maps() == 1          # stored map consumed
+    assert slam.stats["kf"] > kf_a           # old KFs welded in
+    # welded map stays usable: keep tracking without loss
+    lost_before = slam.stats["lost"]
+    for i, x in enumerate(np.arange(1.2, 1.5, 0.06)):
+        slam.process_image(jnp.asarray(render(float(x), 0.05), jnp.float32),
+                           30.0 + 0.1 * i)
+    assert slam.stats["lost"] == lost_before
