@@ -59,12 +59,14 @@ class PoseImage(NamedTuple):
     include/Utils/MyDataTypes.h:85-127): reconst_stat 0 = tiny frame (KLT
     continuity only), 1 = fully reconstructed MCI."""
 
-    img: np.ndarray            # (H,W) float32 in [0,1]
+    img: object                # (H,W) float32 in [0,1] — DEVICE array (the
+    #                            L2 tracker consumes it on device; viz/debug
+    #                            readers np.asarray on demand)
     ts: float                  # window end timestamp
     ts0: float                 # window start timestamp
     reconst_stat: int
     best_kind: str             # 'hist' | 'se2' | 'dpose'
-    se2_params: np.ndarray     # (3,) [omega, vx, vy] from contrast max
+    se2_params: object         # (3,) [omega, vx, vy] from contrast max
     score: float               # winning patch-STD
 
 
@@ -151,11 +153,12 @@ def _make_candidates(
     # normalization compresses the rest of its dynamic range)
     imgs_raw = jnp.stack([img_h, img_se2, img_dp])
     scores = jax.vmap(tensorize.patch_std_mean)(imgs_raw)
-    imgs = jax.vmap(tensorize.normalize_to_image)(imgs_raw)
     # DPose candidate only competes when the prior exists
     scores = scores.at[2].set(jnp.where(have_dpose, scores[2], -jnp.inf))
     best = jnp.argmax(scores)
-    return imgs, scores, best, params
+    # select + normalize ON DEVICE: the host only ever needs the winner
+    best_img = tensorize.normalize_to_image(imgs_raw[best])
+    return best_img, best, scores, params
 
 
 _make_candidates_jit = jax.jit(
@@ -265,7 +268,7 @@ class EventWindowBuilder:
             # tiny frame: KLT continuity only, not full tracking (reference
             # PoseImage::mReconstStat == 0, src/Event/EvAsynchTracker.cpp:1438)
             return PoseImage(
-                img=np.asarray(img), ts=float(chunk[-1, 0]),
+                img=img, ts=float(chunk[-1, 0]),
                 ts0=float(chunk[0, 0]), reconst_stat=0, best_kind="hist",
                 se2_params=np.zeros(3, np.float32), score=0.0,
             )
@@ -299,7 +302,7 @@ class EventWindowBuilder:
             T0 = T1 = np.eye(4, dtype=np.float32)
             depth, have_dpose = 1.0, False
 
-        imgs, scores, best, se2 = _make_candidates_jit(
+        best_img, best, scores, se2 = _make_candidates_jit(
             jnp.asarray(ev_pad), jnp.asarray(v_pad),
             jnp.asarray(t1 - t0, jnp.float32),
             jnp.asarray(T0, jnp.float32), jnp.asarray(T1, jnp.float32),
@@ -307,13 +310,18 @@ class EventWindowBuilder:
             self.cam, H=cfg.img_h, W=cfg.img_w, sigma=cfg.sigma,
             cm_iters=cfg.cm_iters,
         )
-        best_i = int(best)
+        # ONE packed host pull for the tiny metadata; the MCI itself stays
+        # on device (the L2 tracker consumes it there — a D2H + re-upload
+        # per window would dominate the whole builder on a remote link)
+        meta = np.asarray(
+            jnp.concatenate([best[None].astype(jnp.float32), scores])
+        )
+        best_i = int(meta[0])
         kind = ["hist", "se2", "dpose"][best_i]
         self.stats["windows"] += 1
         return PoseImage(
-            img=np.asarray(imgs[best_i]), ts=t1, ts0=t0, reconst_stat=1,
-            best_kind=kind, se2_params=np.asarray(se2),
-            score=float(scores[best_i]),
+            img=best_img, ts=t1, ts0=t0, reconst_stat=1,
+            best_kind=kind, se2_params=se2, score=float(meta[1 + best_i]),
         )
 
     def _finish_window(self) -> PoseImage:

@@ -99,15 +99,12 @@ class EventSlam:
         return res
 
     def _median_scene_depth(self, Tcw: np.ndarray) -> float:
-        """KeyFrame::ComputeSceneMedianDepth equivalent over the event map."""
+        """KeyFrame::ComputeSceneMedianDepth equivalent over the event map
+        (device-side masked median; one scalar pull)."""
+        from eorb_slam_tpu.slam import map_state as ms
         m = self.l2.map
-        lmv = np.asarray(m.lm_valid)
-        if lmv.sum() < 8:
-            return 1.0
-        pts = np.asarray(m.lm_pos)[lmv]
-        z = (Tcw[:3, :3] @ pts.T).T[:, 2] + Tcw[2, 3]
-        z = z[z > 1e-3]
-        return float(np.median(z)) if len(z) else 1.0
+        return float(ms.median_scene_depth(
+            m.lm_pos, m.lm_valid, jnp.asarray(Tcw, jnp.float32)))
 
     # --------------------------------------------------------------- output
 

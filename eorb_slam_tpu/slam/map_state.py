@@ -214,3 +214,17 @@ def alloc_landmarks(
         .set(jnp.where(take, lm_ids, m.kf_feat_lm[kf_b, feat_b])),
     )
     return m, lm_ids
+
+
+@jax.jit
+def median_scene_depth(lm_pos: jnp.ndarray, lm_valid: jnp.ndarray,
+                       Tcw: jnp.ndarray) -> jnp.ndarray:
+    """Masked median landmark depth in the given camera (reference
+    KeyFrame::ComputeSceneMedianDepth). Device scalar: callers float() it
+    once instead of pulling the whole landmark table to the host."""
+    z = (lm_pos @ Tcw[:3, :3].T)[:, 2] + Tcw[2, 3]
+    ok = lm_valid & (z > 1e-3)
+    n = jnp.sum(ok)
+    zs = jnp.sort(jnp.where(ok, z, jnp.inf))
+    med = zs[jnp.clip(n // 2, 0, z.shape[0] - 1)]
+    return jnp.where(n >= 8, med, 1.0)

@@ -112,7 +112,7 @@ def test_contrast_max_sharpens_fast_window():
 
     pad, v, _ = _pad_events(ev, 16384)
     eye = jnp.eye(4, dtype=jnp.float32)
-    imgs, scores, best, se2 = _make_candidates_jit(
+    best_img, best, scores, se2 = _make_candidates_jit(
         jnp.asarray(pad), jnp.asarray(v),
         jnp.asarray(ev[-1, 0] - ev[0, 0], jnp.float32),
         eye, eye, jnp.asarray(1.0, jnp.float32), jnp.asarray(False),
