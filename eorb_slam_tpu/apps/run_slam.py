@@ -292,6 +292,16 @@ def evaluate(seq: datasets.Sequence, traj_file: str, monocular: bool = True):
     rp = rpe.rpe(est, gt, delta=1, scale_norm=monocular)
     out["rpe_trans_rmse"] = rp["trans_rmse"]
     out["rpe_rot_rmse"] = rp["rot_rmse"]
+    # KITTI-devkit sub-sequence odometry metrics (reference
+    # evaluation/kitti-odom-eval/eval_odom.py) when enough overlap exists
+    ia, ib = ate.associate(ts_e, ts_g, 0.02)
+    if len(ia) >= 50:
+        from eorb_slam_tpu.evals import kitti_odom
+
+        ko = kitti_odom.kitti_odom_eval(Twc_g[ib], Twc_e[ia])
+        if ko["n_subseq"]:
+            out["kitti_t_err_pct"] = ko["t_err_pct"]
+            out["kitti_r_err_deg_per_100m"] = ko["r_err_deg_per_100m"]
     return out
 
 

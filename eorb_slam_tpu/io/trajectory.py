@@ -57,6 +57,36 @@ class SmartTimer:
         )
 
 
+class SmartWatchDog:
+    """Spin-loop liveness guard: count waits, escalate past a limit.
+
+    Reference: MySmartWatchDog (include/Utils/MyDataTypes.h:59-79), the
+    reference's only liveness mechanism — e.g. aborting a local BA that
+    starves the tracker (src/Event/EvAsynchTrackerU.cpp:1080-1086). Here the
+    host pipeline is single-threaded dataflow, so the guard protects bounded
+    retry loops (device polling, dataset streaming) instead of mutexes.
+    """
+
+    def __init__(self, name: str, limit: int = 10000):
+        self.name = name
+        self.limit = int(limit)
+        self.count = 0
+        self.triggered = 0
+
+    def reset(self) -> None:
+        self.count = 0
+
+    def step(self) -> bool:
+        """Register one wait iteration. Returns True when the limit is hit
+        (caller should abort/escalate); auto-resets after triggering."""
+        self.count += 1
+        if self.count >= self.limit:
+            self.triggered += 1
+            self.count = 0
+            return True
+        return False
+
+
 def mats_to_tum(ts: np.ndarray, Twc: np.ndarray) -> np.ndarray:
     """(F,) ts + (F,4,4) world-from-camera poses -> (F,8) TUM rows."""
     from eorb_slam_tpu.geometry import lie  # jax-backed, works on numpy input

@@ -262,3 +262,16 @@ def test_frame_log_recover():
     ts, T = log.recover(kf_Twc)
     assert len(ts) == 2
     np.testing.assert_allclose(T[1][:3, 3], [1.0, -0.5, 0.0], atol=1e-12)
+
+
+class TestSmartWatchDog:
+    def test_triggers_and_resets(self):
+        from eorb_slam_tpu.io.trajectory import SmartWatchDog
+
+        wd = SmartWatchDog("dispatch", limit=3)
+        assert not wd.step() and not wd.step()
+        assert wd.step()          # third hit escalates
+        assert wd.triggered == 1
+        assert wd.count == 0      # auto-reset
+        wd.reset()
+        assert not wd.step()
