@@ -66,34 +66,51 @@ def make_problem(K=16, M=2048, P=8, seed=0):
     )
 
 
-def time_ba(device, prob, iters=10, reps=5):
+def _time_call(fn, arg, reps):
+    import jax
+
+    res = fn(arg)
+    jax.block_until_ready(res.kf_T)  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = fn(arg)
+        jax.block_until_ready(res.kf_T)
+    return (time.perf_counter() - t0) / reps, res
+
+
+def time_ba(device, prob, iters_lo=10, iters_hi=40, reps=5):
+    """Marginal ms per LM iteration: (t(iters_hi) - t(iters_lo)) / diff.
+
+    Differential timing removes the fixed per-call cost (dispatch, and on a
+    tunneled remote device the ~25 ms RTT of the blocking result pull) that
+    would otherwise be misattributed to the solver; applied identically to
+    the TPU and the CPU baseline."""
     import jax
 
     from eorb_slam_tpu.optim import schur_ba
 
     prob_d = jax.device_put(prob, device)
-    fn = jax.jit(lambda p: schur_ba.bundle_adjust(p, iters=iters), device=device)
-    res = fn(prob_d)
-    jax.block_until_ready(res.kf_T)  # compile
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        res = fn(prob_d)
-        jax.block_until_ready(res.kf_T)
-    dt = (time.perf_counter() - t0) / reps
-    return dt / iters * 1000.0, res
+    fn_lo = jax.jit(
+        lambda p: schur_ba.bundle_adjust(p, iters=iters_lo), device=device
+    )
+    fn_hi = jax.jit(
+        lambda p: schur_ba.bundle_adjust(p, iters=iters_hi), device=device
+    )
+    t_lo, res = _time_call(fn_lo, prob_d, reps)
+    t_hi, _ = _time_call(fn_hi, prob_d, reps)
+    return max(t_hi - t_lo, 1e-9) / (iters_hi - iters_lo) * 1000.0, res
 
 
 def main():
     import jax
 
     prob = make_problem()
-    iters = 10
 
-    tpu_ms, res = time_ba(jax.devices()[0], prob, iters=iters)
+    tpu_ms, res = time_ba(jax.devices()[0], prob)
 
     try:
         cpu_dev = jax.devices("cpu")[0]
-        cpu_ms, _ = time_ba(cpu_dev, prob, iters=iters, reps=2)
+        cpu_ms, _ = time_ba(cpu_dev, prob, reps=2)
         vs = cpu_ms / tpu_ms
     except Exception:
         vs = float("nan")

@@ -121,13 +121,109 @@ def _robust_cost(chi2, valid, use_huber):
 
 
 def _schur_pieces(p: BAProblem, kf_T, lm_pos, lam, use_huber):
-    """Local (per-landmark-shard) Schur pieces.
+    """Local (per-landmark-shard) Schur pieces — TPU-layout-tuned path.
 
     Returns (S, b_s, W_blk, Vinv, b_l) where S (K,K,6,6) carries U on the
     diagonal and -Y W^T off it, b_s (K,6) is the reduced RHS. Under landmark
     sharding these are partial sums — psum them over the shard axis before
     `_solve_cameras`; the landmark-side pieces (W_blk, Vinv, b_l) stay local.
+
+    The pose/point Jacobians are written as closed-form elementwise stacks
+    (the standard ORB-SLAM pinhole forms, reference src/OptimizableTypes.h
+    EdgeSE3ProjectXYZ::linearizeOplus) instead of per-observation 2x3 @ 3x6
+    matmuls: 16k tiny matmuls lower to padded VPU loops, while one fused
+    elementwise stack is a single kernel. The Schur off-diagonal is one dense
+    (K*6, M*3) @ (M*3, K*6) matmul on the MXU. `_schur_pieces_ref` keeps the
+    einsum formulation for parity tests.
     """
+    K = kf_T.shape[0]
+    M, P = p.obs_uv.shape[:2]
+    dtype = kf_T.dtype
+
+    T_obs = kf_T[p.obs_kf]                       # (M,P,4,4)
+    pts = jnp.broadcast_to(lm_pos[:, None, :], (M, P, 3))
+    pc = lie.se3_apply(T_obs, pts)               # (M,P,3)
+    fx, fy, cx, cy = (p.cam_params[0], p.cam_params[1],
+                      p.cam_params[2], p.cam_params[3])
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    iz = 1.0 / z_safe
+    xz = x * iz
+    yz = y * iz
+    uv_hat = jnp.stack([fx * xz + cx, fy * yz + cy], axis=-1)
+    s = p.obs_inv_sigma                          # (M,P)
+    r = (p.obs_uv - uv_hat) * s[..., None]
+    chi2 = jnp.sum(r * r, axis=-1)
+    valid = (
+        p.obs_valid & p.lm_valid[:, None] & p.kf_valid[p.obs_kf] & (pc[..., 2] > 0)
+    )
+    w_rob = jnp.where(use_huber, robust.huber_weight(chi2, robust.CHI2_MONO), 1.0)
+    w = w_rob * valid.astype(dtype)              # (M,P)
+
+    # residual Jacobians J = -d(uv_hat)/d(state) * inv_sigma, elementwise.
+    # Pose convention: xi = [t, omega], T <- exp(xi) T, so d pc/d xi = [I | -hat(pc)].
+    a = fx * iz
+    b = fy * iz
+    ns = -s
+    one = jnp.ones_like(xz)
+    zero = jnp.zeros_like(xz)
+    Jp = jnp.stack([
+        ns * a, zero, ns * a * -xz,
+        ns * -fx * xz * yz, ns * fx * (one + xz * xz), ns * -fx * yz,
+        zero, ns * b, ns * b * -yz,
+        ns * -fy * (one + yz * yz), ns * fy * xz * yz, ns * fy * xz,
+    ], axis=-1).reshape(M, P, 2, 6)
+    R_obs = T_obs[..., :3, :3]
+    Jl_u = (ns * a)[..., None] * (R_obs[..., 0, :] - xz[..., None] * R_obs[..., 2, :])
+    Jl_v = (ns * b)[..., None] * (R_obs[..., 1, :] - yz[..., None] * R_obs[..., 2, :])
+    Jl = jnp.stack([Jl_u, Jl_v], axis=-2)        # (M,P,2,3)
+
+    # zero pose Jacobian for fixed cameras: they contribute only to V, b_l
+    cam_free = (~p.kf_fixed)[p.obs_kf].astype(dtype)[..., None, None]
+    Jp = Jp * cam_free
+
+    wJp = Jp * w[..., None, None]
+    wJl = Jl * w[..., None, None]
+
+    # landmark blocks
+    V = jnp.einsum("mpij,mpik->mjk", wJl, Jl)                 # (M,3,3)
+    b_l = -jnp.einsum("mpij,mpi->mj", wJl, r)                 # (M,3)
+    V_d = V + lam * jnp.eye(3, dtype=dtype)[None] * jnp.maximum(
+        jnp.trace(V, axis1=-2, axis2=-1)[..., None, None] / 3.0, 1e-6
+    )
+    lm_free = p.lm_valid.astype(dtype)
+    Vinv = _inv3x3(V_d) * lm_free[:, None, None]
+
+    # camera blocks — one-hot contractions instead of scatter-add
+    O = jax.nn.one_hot(p.obs_kf, K, dtype=dtype)              # (M,P,K)
+    U_obs = jnp.einsum("mpij,mpik->mpjk", wJp, Jp)            # (M,P,6,6)
+    b_c_obs = -jnp.einsum("mpij,mpi->mpj", wJp, r)            # (M,P,6)
+    U = jnp.einsum("mpk,mpij->kij", O, U_obs)                 # (K,6,6)
+    b_c = jnp.einsum("mpk,mpi->ki", O, b_c_obs)               # (K,6)
+
+    # cross blocks + Schur pieces
+    W_blk = jnp.einsum("mpij,mpik->mpjk", wJp, Jl)            # (M,P,6,3)
+    Y = W_blk @ Vinv[:, None]                                 # (M,P,6,3)
+    G = jnp.einsum("mpa,mpij->maij", O, Y)                    # (M,K,6,3)
+    Hm = jnp.einsum("mpa,mpij->maij", O, W_blk)               # (M,K,6,3)
+
+    # S_off[a,b,i,k] = sum_{m,j} G[m,a,i,j] H[m,b,k,j] as ONE dense matmul
+    G2 = G.transpose(0, 3, 1, 2).reshape(M * 3, K * 6)        # [(m,j),(a,i)]
+    H2 = Hm.transpose(0, 3, 1, 2).reshape(M * 3, K * 6)       # [(m,j),(b,k)]
+    S_flat = G2.T @ H2                                        # (K*6, K*6)
+    S_off = S_flat.reshape(K, 6, K, 6).transpose(0, 2, 1, 3)
+
+    S = -S_off
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(U)
+
+    # reduced rhs: b_s = b_c - G^T b_l, same flattening
+    b_s = b_c - (G2.T @ b_l.reshape(M * 3)).reshape(K, 6)
+    return S, b_s, W_blk, Vinv, b_l
+
+
+def _schur_pieces_ref(p: BAProblem, kf_T, lm_pos, lam, use_huber):
+    """Reference einsum formulation of `_schur_pieces` (kept for parity
+    tests of the layout-tuned path)."""
     K = kf_T.shape[0]
     M, P = p.obs_uv.shape[:2]
     dtype = kf_T.dtype

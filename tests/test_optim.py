@@ -144,3 +144,24 @@ def test_ba_empty_problem_is_safe():
     res = schur_ba.bundle_adjust(prob, iters=3)
     assert np.isfinite(np.asarray(res.kf_T)).all()
     assert float(res.cost) == 0.0
+
+
+class TestSchurPiecesParity:
+    def test_fast_path_matches_einsum_reference(self):
+        import importlib.util as _il
+
+        spec = _il.spec_from_file_location("benchmod", "bench.py")
+        bench = _il.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+        p = bench.make_problem(K=6, M=128, P=4, seed=3)
+        lam = jnp.asarray(3e-4, jnp.float32)
+        for huber in (True, False):
+            args = (p, p.kf_T, p.lm_pos, lam, jnp.asarray(huber))
+            fast = schur_ba._schur_pieces(*args)
+            ref = schur_ba._schur_pieces_ref(*args)
+            # f32 reduction order differs (one big matmul vs einsum), so
+            # compare relative to each tensor's norm, not elementwise
+            for f, r in zip(fast, ref):
+                f, r = np.asarray(f), np.asarray(r)
+                scale = max(float(np.abs(r).max()), 1.0)
+                assert np.abs(f - r).max() <= 1e-4 * scale + 1e-4
