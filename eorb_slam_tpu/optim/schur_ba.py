@@ -94,6 +94,32 @@ def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((jnp.abs(det) < 1e-12)[..., None, None], 0.0, inv)
 
 
+def _inv3x3_cols(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of a (3,3,N) stack — TPU column layout (the batch
+    axis stays in vector lanes; a trailing (3,3) tile would pad to (8,128))."""
+    a, b, c = A[0, 0], A[0, 1], A[0, 2]
+    d, e, f = A[1, 0], A[1, 1], A[1, 2]
+    g, h, i = A[2, 0], A[2, 1], A[2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    bad = jnp.abs(det) < 1e-12
+    inv_det = jnp.where(bad, 0.0, 1.0 / jnp.where(bad, 1.0, det))
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13]),
+        jnp.stack([A21, A22, A23]),
+        jnp.stack([A31, A32, A33]),
+    ])
+    return adj * inv_det[None, None, :]
+
+
 def _residuals_and_weights(p: BAProblem, kf_T, lm_pos, use_huber):
     """Per-observation residual, robust weight, chi2. Shapes (M,P,...)."""
     T_obs = kf_T[p.obs_kf]                      # (M,P,4,4)
@@ -123,42 +149,69 @@ def _robust_cost(chi2, valid, use_huber):
 def _schur_pieces(p: BAProblem, kf_T, lm_pos, lam, use_huber):
     """Local (per-landmark-shard) Schur pieces — TPU-layout-tuned path.
 
-    Returns (S, b_s, W_blk, Vinv, b_l) where S (K,K,6,6) carries U on the
-    diagonal and -Y W^T off it, b_s (K,6) is the reduced RHS. Under landmark
-    sharding these are partial sums — psum them over the shard axis before
-    `_solve_cameras`; the landmark-side pieces (W_blk, Vinv, b_l) stay local.
+    Returns (S, b_s, Wf, Vinv, b_l) where S (K,K,6,6) carries U on the
+    diagonal and -Y W^T off it, b_s (K,6) is the reduced RHS, and Wf
+    (K*6, M, 3) is the pose-landmark cross block used by back-substitution.
+    Under landmark sharding S/b_s are partial sums — psum them over the
+    shard axis before `_solve_cameras`; (Wf, Vinv, b_l) stay local.
 
     The pose/point Jacobians are written as closed-form elementwise stacks
     (the standard ORB-SLAM pinhole forms, reference src/OptimizableTypes.h
     EdgeSE3ProjectXYZ::linearizeOplus) instead of per-observation 2x3 @ 3x6
     matmuls: 16k tiny matmuls lower to padded VPU loops, while one fused
-    elementwise stack is a single kernel. The Schur off-diagonal is one dense
-    (K*6, M*3) @ (M*3, K*6) matmul on the MXU. `_schur_pieces_ref` keeps the
-    einsum formulation for parity tests.
+    elementwise stack is a single kernel.
+
+    Layout rule: on TPU the LAST dim maps to 128 vector lanes and the
+    second-to-last to 8 sublanes — a trailing dim of 3 or 6 pads to 128 and
+    burns ~20-40x the bandwidth the math needs. So every per-observation
+    quantity here is a flat ``(coeff, M*P)`` array: small coefficient axes
+    (6, 3, 36...) live in sublanes, the long observation axis in lanes. The
+    reductions then ride the MXU as three GEMMs:
+
+      U   = Up36 (36,MP) @ onehot (MP,K)          block-diag camera system
+      Wf  = per-landmark P-contraction (batched over M)
+      S  -= Y (K6,3M) @ Wf (K6,3M)^T              Schur off-diagonal
     """
     K = kf_T.shape[0]
     M, P = p.obs_uv.shape[:2]
+    MP = M * P
     dtype = kf_T.dtype
 
-    T_obs = kf_T[p.obs_kf]                       # (M,P,4,4)
-    pts = jnp.broadcast_to(lm_pos[:, None, :], (M, P, 3))
-    pc = lie.se3_apply(T_obs, pts)               # (M,P,3)
+    # gather pose rows as flat 12-vectors [R row-major | t] — a (MP,12)
+    # gather instead of (M,P,4,4) whose trailing (4,4) tile pads 32x
+    kf_flat = jnp.concatenate(
+        [kf_T[:, :3, :3].reshape(K, 9), kf_T[:, :3, 3]], axis=1
+    )                                            # (K,12)
+    obs_kf_f = p.obs_kf.reshape(MP)
+    Tg = kf_flat[obs_kf_f]                       # (MP,12)
+    R = [Tg[:, i] for i in range(9)]             # R[3*r+c]
+    t0, t1, t2 = Tg[:, 9], Tg[:, 10], Tg[:, 11]
+
+    X0 = jnp.repeat(lm_pos[:, 0], P)             # (MP,) world point coords
+    Y0 = jnp.repeat(lm_pos[:, 1], P)
+    Z0 = jnp.repeat(lm_pos[:, 2], P)
+    x = R[0] * X0 + R[1] * Y0 + R[2] * Z0 + t0
+    y = R[3] * X0 + R[4] * Y0 + R[5] * Z0 + t1
+    z = R[6] * X0 + R[7] * Y0 + R[8] * Z0 + t2
+
     fx, fy, cx, cy = (p.cam_params[0], p.cam_params[1],
                       p.cam_params[2], p.cam_params[3])
-    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
     z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     iz = 1.0 / z_safe
     xz = x * iz
     yz = y * iz
-    uv_hat = jnp.stack([fx * xz + cx, fy * yz + cy], axis=-1)
-    s = p.obs_inv_sigma                          # (M,P)
-    r = (p.obs_uv - uv_hat) * s[..., None]
-    chi2 = jnp.sum(r * r, axis=-1)
+    s = p.obs_inv_sigma.reshape(MP)
+    rA = (p.obs_uv[..., 0].reshape(MP) - (fx * xz + cx)) * s
+    rB = (p.obs_uv[..., 1].reshape(MP) - (fy * yz + cy)) * s
+    chi2 = rA * rA + rB * rB
     valid = (
-        p.obs_valid & p.lm_valid[:, None] & p.kf_valid[p.obs_kf] & (pc[..., 2] > 0)
+        p.obs_valid.reshape(MP)
+        & p.lm_valid.repeat(P)
+        & p.kf_valid[obs_kf_f]
+        & (z > 0)
     )
     w_rob = jnp.where(use_huber, robust.huber_weight(chi2, robust.CHI2_MONO), 1.0)
-    w = w_rob * valid.astype(dtype)              # (M,P)
+    w = w_rob * valid.astype(dtype)              # (MP,)
 
     # residual Jacobians J = -d(uv_hat)/d(state) * inv_sigma, elementwise.
     # Pose convention: xi = [t, omega], T <- exp(xi) T, so d pc/d xi = [I | -hat(pc)].
@@ -167,58 +220,56 @@ def _schur_pieces(p: BAProblem, kf_T, lm_pos, lam, use_huber):
     ns = -s
     one = jnp.ones_like(xz)
     zero = jnp.zeros_like(xz)
-    Jp = jnp.stack([
-        ns * a, zero, ns * a * -xz,
-        ns * -fx * xz * yz, ns * fx * (one + xz * xz), ns * -fx * yz,
-        zero, ns * b, ns * b * -yz,
-        ns * -fy * (one + yz * yz), ns * fy * xz * yz, ns * fy * xz,
-    ], axis=-1).reshape(M, P, 2, 6)
-    R_obs = T_obs[..., :3, :3]
-    Jl_u = (ns * a)[..., None] * (R_obs[..., 0, :] - xz[..., None] * R_obs[..., 2, :])
-    Jl_v = (ns * b)[..., None] * (R_obs[..., 1, :] - yz[..., None] * R_obs[..., 2, :])
-    Jl = jnp.stack([Jl_u, Jl_v], axis=-2)        # (M,P,2,3)
-
     # zero pose Jacobian for fixed cameras: they contribute only to V, b_l
-    cam_free = (~p.kf_fixed)[p.obs_kf].astype(dtype)[..., None, None]
-    Jp = Jp * cam_free
+    cf = (~p.kf_fixed)[obs_kf_f].astype(dtype)
+    nsc = ns * cf
+    JpA = jnp.stack([                            # (6,MP) residual row u
+        nsc * a, zero, nsc * a * -xz,
+        nsc * -fx * xz * yz, nsc * fx * (one + xz * xz), nsc * -fx * yz,
+    ])
+    JpB = jnp.stack([                            # (6,MP) residual row v
+        zero, nsc * b, nsc * b * -yz,
+        nsc * -fy * (one + yz * yz), nsc * fy * xz * yz, nsc * fy * xz,
+    ])
+    JlA = jnp.stack([(ns * a) * (R[j] - xz * R[6 + j]) for j in range(3)])
+    JlB = jnp.stack([(ns * b) * (R[3 + j] - yz * R[6 + j]) for j in range(3)])
 
-    wJp = Jp * w[..., None, None]
-    wJl = Jl * w[..., None, None]
-
-    # landmark blocks
-    V = jnp.einsum("mpij,mpik->mjk", wJl, Jl)                 # (M,3,3)
-    b_l = -jnp.einsum("mpij,mpi->mj", wJl, r)                 # (M,3)
-    V_d = V + lam * jnp.eye(3, dtype=dtype)[None] * jnp.maximum(
-        jnp.trace(V, axis1=-2, axis2=-1)[..., None, None] / 3.0, 1e-6
-    )
+    # landmark blocks: V (3,3,M), b_l (3,M) — contraction over p only
+    V9 = (w * (JlA[:, None] * JlA[None] + JlB[:, None] * JlB[None]))  # (3,3,MP)
+    V = V9.reshape(3, 3, M, P).sum(-1)
+    b_l = -(w * (JlA * rA + JlB * rB)).reshape(3, M, P).sum(-1)       # (3,M)
+    trV = V[0, 0] + V[1, 1] + V[2, 2]
+    V_d = V + (lam * jnp.maximum(trV / 3.0, 1e-6)) * jnp.eye(3, dtype=dtype)[
+        :, :, None
+    ]
     lm_free = p.lm_valid.astype(dtype)
-    Vinv = _inv3x3(V_d) * lm_free[:, None, None]
+    Vinv = _inv3x3_cols(V_d) * lm_free[None, None, :]                 # (3,3,M)
 
-    # camera blocks — one-hot contractions instead of scatter-add
-    O = jax.nn.one_hot(p.obs_kf, K, dtype=dtype)              # (M,P,K)
-    U_obs = jnp.einsum("mpij,mpik->mpjk", wJp, Jp)            # (M,P,6,6)
-    b_c_obs = -jnp.einsum("mpij,mpi->mpj", wJp, r)            # (M,P,6)
-    U = jnp.einsum("mpk,mpij->kij", O, U_obs)                 # (K,6,6)
-    b_c = jnp.einsum("mpk,mpi->ki", O, b_c_obs)               # (K,6)
+    # camera blocks: one GEMM against the one-hot assignment.  Each residual
+    # row has support on exactly one 6-wide pose block, so this IS the
+    # block-diagonal U — no scatter-add.
+    O2 = jax.nn.one_hot(obs_kf_f, K, dtype=dtype)                     # (MP,K)
+    Up = (w * (JpA[:, None] * JpA[None] + JpB[:, None] * JpB[None]))  # (6,6,MP)
+    U = (Up.reshape(36, MP) @ O2).T.reshape(K, 6, 6)
+    bj = -(w * (JpA * rA + JpB * rB))                                 # (6,MP)
+    b_c = (bj @ O2).T                                                 # (K,6)
 
-    # cross blocks + Schur pieces
-    W_blk = jnp.einsum("mpij,mpik->mpjk", wJp, Jl)            # (M,P,6,3)
-    Y = W_blk @ Vinv[:, None]                                 # (M,P,6,3)
-    G = jnp.einsum("mpa,mpij->maij", O, Y)                    # (M,K,6,3)
-    Hm = jnp.einsum("mpa,mpij->maij", O, W_blk)               # (M,K,6,3)
+    # cross block Wf[(k,j),l,m] = sum_p onehot * (w Jp^T Jl): contraction
+    # over p batched per landmark, M stays in lanes
+    WB = (w * (JpA[:, None] * JlA[None] + JpB[:, None] * JlB[None]))  # (6,3,MP)
+    Wf = jnp.einsum(
+        "wmp,mpk->kwm", WB.reshape(18, M, P), O2.reshape(M, P, K)
+    ).reshape(K * 6, 3, M)
+    Y = jnp.einsum("axm,xym->aym", Wf, Vinv)                          # (K6,3,M)
 
-    # S_off[a,b,i,k] = sum_{m,j} G[m,a,i,j] H[m,b,k,j] as ONE dense matmul
-    G2 = G.transpose(0, 3, 1, 2).reshape(M * 3, K * 6)        # [(m,j),(a,i)]
-    H2 = Hm.transpose(0, 3, 1, 2).reshape(M * 3, K * 6)       # [(m,j),(b,k)]
-    S_flat = G2.T @ H2                                        # (K*6, K*6)
-    S_off = S_flat.reshape(K, 6, K, 6).transpose(0, 2, 1, 3)
-
-    S = -S_off
+    Yf = Y.reshape(K * 6, 3 * M)
+    S_flat = -(Yf @ Wf.reshape(K * 6, 3 * M).T)                       # (K6,K6)
+    S = S_flat.reshape(K, 6, K, 6).transpose(0, 2, 1, 3)
     S = S.at[jnp.arange(K), jnp.arange(K)].add(U)
 
-    # reduced rhs: b_s = b_c - G^T b_l, same flattening
-    b_s = b_c - (G2.T @ b_l.reshape(M * 3)).reshape(K, 6)
-    return S, b_s, W_blk, Vinv, b_l
+    # reduced rhs: b_s = b_c - Y b_l
+    b_s = b_c - (Yf @ b_l.reshape(3 * M)).reshape(K, 6)
+    return S, b_s, Wf, Vinv, b_l
 
 
 def _schur_pieces_ref(p: BAProblem, kf_T, lm_pos, lam, use_huber):
@@ -289,7 +340,9 @@ def _schur_pieces_ref(p: BAProblem, kf_T, lm_pos, lam, use_huber):
 
     # reduced rhs: b_s = b_c - sum_m G[m,k] b_l_m
     b_s = b_c - jnp.einsum("maij,mj->ai", G, b_l)
-    return S, b_s, W_blk, Vinv, b_l
+    # repack into the column layouts of the fast path for parity
+    Wf = Hm.transpose(1, 2, 3, 0).reshape(K * 6, 3, M)        # (K6,3,M)
+    return S, b_s, Wf, Vinv.transpose(1, 2, 0), b_l.T
 
 
 def _solve_cameras(p: BAProblem, S, b_s, lam):
@@ -324,12 +377,17 @@ def _solve_cameras(p: BAProblem, S, b_s, lam):
     return dx_c * free[:, None]
 
 
-def _backsub_landmarks(p: BAProblem, W_blk, Vinv, b_l, dx_c):
-    """Landmark update (local to the shard): dx_l = Vinv (b_l - W^T dx_c)."""
-    dxc_obs = dx_c[p.obs_kf]                                  # (M,P,6)
-    corr = jnp.einsum("mpij,mpi->mj", W_blk, dxc_obs)         # (M,3)
+def _backsub_landmarks(p: BAProblem, Wf, Vinv, b_l, dx_c):
+    """Landmark update (local to the shard): dx_l = Vinv (b_l - W^T dx_c).
+
+    ``Wf`` (K*6,3,M), ``Vinv`` (3,3,M), ``b_l`` (3,M) are the column-layout
+    cross/landmark blocks from `_schur_pieces` — the correction is one
+    contraction against the flattened pose update, no per-observation
+    gather. Returns (M,3)."""
+    corr = jnp.einsum("alm,a->lm", Wf, dx_c.reshape(-1))      # (3,M)
     lm_free = p.lm_valid.astype(dx_c.dtype)
-    return jnp.einsum("mij,mj->mi", Vinv, b_l - corr) * lm_free[:, None]
+    dx_l = jnp.einsum("ijm,jm->mi", Vinv, b_l - corr)         # (M,3)
+    return dx_l * lm_free[:, None]
 
 
 def _build_and_solve(p: BAProblem, kf_T, lm_pos, lam, use_huber, axis_name=None):

