@@ -86,10 +86,17 @@ def _pad_events(ev: np.ndarray, cap: int, t0: Optional[float] = None):
     (padded, valid, n_dropped).
     """
     n_drop = max(len(ev) - cap, 0)
+    if t0 is None:
+        t0 = float(ev[n_drop, 0]) if len(ev) else 0.0
+
+    from eorb_slam_tpu.io import native as _native
+
+    nat = _native.pad_rebase(ev, cap, t0)
+    if nat is not None:
+        return nat
+
     ev = ev[n_drop:]
     n = len(ev)
-    if t0 is None:
-        t0 = float(ev[0, 0]) if n else 0.0
     out = np.zeros((cap, 4), np.float32)
     valid = np.zeros(cap, bool)
     out[:n, 0] = (ev[:, 0] - t0).astype(np.float32)
@@ -183,7 +190,13 @@ class EventWindowBuilder:
                              jnp.float32)
         )
         # host event buffer stays float64: raw timestamps must not be
-        # quantized before window rebasing (see _pad_events)
+        # quantized before window rebasing (see _pad_events). Backed by the
+        # native C++ queue (io/native.NativeEventQueue — O(1) consume/
+        # inject, background file streaming) when the library is available,
+        # else a numpy array.
+        from eorb_slam_tpu.io import native as _native
+
+        self._q = _native.make_queue()
         self.buf = np.zeros((0, 4), np.float64)
         self.chunk_size = cfg.l1_chunk_size
         self.chunks_in_window: list[np.ndarray] = []
@@ -200,7 +213,32 @@ class EventWindowBuilder:
 
     def feed(self, events: np.ndarray) -> None:
         if len(events):
-            self.buf = np.concatenate([self.buf, np.asarray(events, np.float64)])
+            if self._q is not None:
+                self._q.feed(np.asarray(events, np.float64))
+            else:
+                self.buf = np.concatenate(
+                    [self.buf, np.asarray(events, np.float64)]
+                )
+
+    def stream_file(self, path: str, max_rows=None) -> bool:
+        """Start the native background streamer parsing ``path`` (ts x y p
+        text) into the queue; returns False when unavailable."""
+        return self._q is not None and self._q.stream_file(path, max_rows)
+
+    def pending_events(self) -> int:
+        return len(self._q) if self._q is not None else len(self.buf)
+
+    def _consume(self, n: int) -> np.ndarray:
+        if self._q is not None:
+            return self._q.consume(n)
+        chunk, self.buf = self.buf[:n], self.buf[n:]
+        return chunk
+
+    def _inject_front(self, events: np.ndarray) -> None:
+        if self._q is not None:
+            self._q.inject_front(events)
+        else:
+            self.buf = np.concatenate([events, self.buf])
 
     def set_pose_prior(self, T0: np.ndarray, T1: np.ndarray, med_depth: float):
         self.pose_prior = (np.asarray(T0), np.asarray(T1), float(med_depth))
@@ -220,10 +258,9 @@ class EventWindowBuilder:
 
     def step(self) -> Optional[PoseImage]:
         cfg = self.cfg
-        if len(self.buf) < self.chunk_size:
+        if self.pending_events() < self.chunk_size:
             return None
-        chunk = self.buf[: self.chunk_size]
-        self.buf = self.buf[self.chunk_size :]
+        chunk = self._consume(self.chunk_size)
         self.stats["chunks"] += 1
 
         # gen-rate gate (reference src/Event/EvImBuilder.cpp:1327-1342)
@@ -332,6 +369,6 @@ class EventWindowBuilder:
         # injectEventsBegin, src/Event/EvImBuilder.cpp:1473-1477)
         n_keep = int(len(window) * self.cfg.overlap)
         if n_keep > 0:
-            self.buf = np.concatenate([window[-n_keep:], self.buf])
+            self._inject_front(window[-n_keep:])
         self.chunks_in_window.clear()
         return pi

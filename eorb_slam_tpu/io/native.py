@@ -25,12 +25,16 @@ def _repo_root() -> str:
 
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
-    src = os.path.join(_repo_root(), "native", "fastio.cpp")
-    if not os.path.exists(src):
+    ndir = os.path.join(_repo_root(), "native")
+    srcs = [os.path.join(ndir, f) for f in ("fastio.cpp", "evqueue.cpp")]
+    hdrs = [os.path.join(ndir, "parse_util.h")]
+    if not all(os.path.exists(s) for s in srcs):
         return None
-    out = os.path.join(_repo_root(), "native", "libfastio.so")
-    if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", out]
+    out = os.path.join(ndir, "libfastio.so")
+    newest = max(os.path.getmtime(f) for f in srcs + hdrs if os.path.exists(f))
+    if not os.path.exists(out) or os.path.getmtime(out) < newest:
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *srcs,
+               "-o", out, "-lpthread"]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         except Exception:
@@ -55,6 +59,27 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64,
     ]
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.evq_create.restype = ctypes.c_void_p
+    lib.evq_destroy.argtypes = [ctypes.c_void_p]
+    lib.evq_feed.argtypes = [ctypes.c_void_p, dp, ctypes.c_int64]
+    lib.evq_size.restype = ctypes.c_int64
+    lib.evq_size.argtypes = [ctypes.c_void_p]
+    lib.evq_consume.restype = ctypes.c_int64
+    lib.evq_consume.argtypes = [ctypes.c_void_p, ctypes.c_int64, dp]
+    lib.evq_inject_front.argtypes = [ctypes.c_void_p, dp, ctypes.c_int64]
+    lib.evq_pad_rebase.restype = ctypes.c_int64
+    lib.evq_pad_rebase.argtypes = [
+        dp, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.evq_stream_file.restype = ctypes.c_int
+    lib.evq_stream_file.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.evq_stream_active.restype = ctypes.c_int
+    lib.evq_stream_active.argtypes = [ctypes.c_void_p]
+    lib.evq_stream_join.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -112,6 +137,100 @@ def parse_txt(path: str, max_rows: Optional[int] = None) -> Optional[np.ndarray]
 
 def parse_csv(path: str, max_rows: Optional[int] = None) -> Optional[np.ndarray]:
     return _parse(path, 1, max_rows)
+
+
+class NativeEventQueue:
+    """Native event FIFO + background file streamer (native/evqueue.cpp).
+
+    Runtime replacement for the reference's SharedQueue/EventQueue buffers
+    (include/Event/EventData.h:130-139, src/Event/EvTrackManager.cpp:227-258):
+    contiguous C++ ring with O(1)-amortized consume and front re-injection,
+    and an optional parser thread that streams events.txt into the queue so
+    host parsing overlaps device compute. Construct via :func:`make_queue`,
+    which returns None when the native library is unavailable (callers fall
+    back to the numpy buffer path).
+    """
+
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        self._h = lib.evq_create()
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.evq_destroy(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def feed(self, events: np.ndarray) -> None:
+        ev = np.ascontiguousarray(events, np.float64)
+        if len(ev) == 0:
+            return
+        assert ev.ndim == 2 and ev.shape[1] == 4
+        self._lib.evq_feed(
+            self._h, ev.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(ev)
+        )
+
+    def __len__(self) -> int:
+        return int(self._lib.evq_size(self._h))
+
+    def consume(self, n: int) -> np.ndarray:
+        out = np.empty((n, 4), np.float64)
+        m = self._lib.evq_consume(
+            self._h, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        )
+        return out[:m]
+
+    def inject_front(self, events: np.ndarray) -> None:
+        ev = np.ascontiguousarray(events, np.float64)
+        if len(ev) == 0:
+            return
+        self._lib.evq_inject_front(
+            self._h, ev.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(ev)
+        )
+
+    def stream_file(self, path: str, max_rows: Optional[int] = None,
+                    block_rows: int = 1 << 16) -> bool:
+        rc = self._lib.evq_stream_file(
+            self._h, path.encode(), -1 if max_rows is None else max_rows,
+            block_rows,
+        )
+        return rc == 0
+
+    def stream_active(self) -> bool:
+        return bool(self._lib.evq_stream_active(self._h))
+
+    def stream_join(self) -> None:
+        self._lib.evq_stream_join(self._h)
+
+
+def make_queue() -> Optional[NativeEventQueue]:
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "evq_create"):
+        return None
+    return NativeEventQueue(lib)
+
+
+def pad_rebase(events: np.ndarray, cap: int, t0: float):
+    """Native keep-most-recent-cap + ts-rebase + float32 cast; returns
+    (out (cap,4) float32, valid (cap,) bool, n_dropped) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "evq_pad_rebase"):
+        return None
+    ev = np.ascontiguousarray(events, np.float64)
+    out = np.empty((cap, 4), np.float32)
+    valid = np.empty(cap, np.uint8)
+    drop = lib.evq_pad_rebase(
+        ev.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(ev), cap,
+        float(t0),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out, valid.astype(bool), int(drop)
 
 
 def write_tum(path: str, header: str, data: np.ndarray) -> bool:

@@ -275,3 +275,69 @@ class TestSmartWatchDog:
         assert wd.count == 0      # auto-reset
         wd.reset()
         assert not wd.step()
+
+
+class TestNativeEventQueue:
+    """native/evqueue.cpp — the C++ runtime queue behind the window builder
+    (reference EventQueue::consumeBegin / EvTrackManager::injectEventsBegin,
+    include/Event/EventData.h:130-139)."""
+
+    def _events(self, n=1000, seed=0):
+        rng = np.random.default_rng(seed)
+        ts = np.cumsum(np.abs(rng.normal(0, 1e-4, (n, 1))), 0)
+        return np.concatenate(
+            [ts, rng.uniform(0, 240, (n, 2)), rng.integers(0, 2, (n, 1))], 1
+        )
+
+    def test_fifo_and_front_injection(self):
+        q = native.make_queue()
+        if q is None:
+            pytest.skip("native library unavailable")
+        ev = self._events()
+        q.feed(ev[:600])
+        q.feed(ev[600:])
+        assert len(q) == 1000
+        np.testing.assert_array_equal(q.consume(300), ev[:300])
+        q.inject_front(ev[100:300])  # overlap re-injection
+        assert len(q) == 900
+        np.testing.assert_array_equal(q.consume(250), ev[100:350])
+        q.close()
+
+    def test_pad_rebase_matches_numpy(self):
+        if native.get_lib() is None:
+            pytest.skip("native library unavailable")
+        ev = self._events()
+        out, valid, drop = native.pad_rebase(ev, 800, ev[200, 0])
+        assert drop == 200 and valid.sum() == 800
+        np.testing.assert_allclose(
+            out[:800, 0], (ev[200:, 0] - ev[200, 0]).astype(np.float32)
+        )
+        assert not valid[800:].any()
+
+    def test_background_streamer(self, tmp_path):
+        q = native.make_queue()
+        if q is None:
+            pytest.skip("native library unavailable")
+        ev = self._events(500)
+        p = tmp_path / "events.txt"
+        with open(p, "w") as f:
+            f.write("# ts x y p\n")
+            for r in ev:
+                f.write(f"{r[0]:.9f} {r[1]:.4f} {r[2]:.4f} {int(r[3])}\n")
+        assert q.stream_file(str(p))
+        q.stream_join()
+        assert len(q) == 500
+        got = q.consume(500)
+        np.testing.assert_allclose(got[:, 0], ev[:, 0], atol=1e-9)
+        q.close()
+
+    def test_builder_uses_queue_backend(self):
+        from eorb_slam_tpu.event import builder as B
+
+        b = B.EventWindowBuilder(B.BuilderConfig())
+        ev = self._events(300)
+        b.feed(ev)
+        assert b.pending_events() == 300
+        np.testing.assert_array_equal(b._consume(100), ev[:100])
+        b._inject_front(ev[:50])
+        assert b.pending_events() == 250
