@@ -65,7 +65,7 @@ class PoseImage(NamedTuple):
     ts: float                  # window end timestamp
     ts0: float                 # window start timestamp
     reconst_stat: int
-    best_kind: str             # 'hist' | 'se2' | 'dpose'
+    best_kind: str             # 'hist' | 'se2' | 'dpose' | 'klt2d'
     se2_params: object         # (3,) [omega, vx, vy] from contrast max
     score: float               # winning patch-STD
 
@@ -120,6 +120,11 @@ def _make_candidates(
     T1: jnp.ndarray,        # (4,4) Tcw prior at window end
     med_depth: jnp.ndarray, # () scalar median scene depth from L2
     have_dpose: jnp.ndarray,  # () bool — is the (T0,T1,depth) prior usable
+    klt_prev: jnp.ndarray,  # (Npts,2) KLT reference corners (chunk i-1)
+    klt_cur: jnp.ndarray,   # (Npts,2) tracked positions (chunk i)
+    klt_ok: jnp.ndarray,    # (Npts,) bool
+    klt_dt: jnp.ndarray,    # () seconds between the two chunk images
+    have_klt: jnp.ndarray,  # () bool
     cam_params: jnp.ndarray,
     H: int,
     W: int,
@@ -154,14 +159,26 @@ def _make_candidates(
     v_dp = valid & (z_dp > 1e-3)
     img_dp = tensorize.splat_gauss(xy_dp, v_dp, pol, H, W, sigma=sigma)
 
+    # candidate 3: SE2 flow fitted to the builder's own KLT correspondences
+    # (the reference's measured-track candidate: optimize2D SE2 fit of
+    # matched KPts feeding the MCI selection, src/Event/EvImBuilder.cpp:1124)
+    params_fit, n_fit = contrast_max.fit_rt2d_points(
+        klt_prev, klt_cur, klt_ok, klt_dt, center
+    )
+    xy_fit = tensorize.warp_se2(xy, t_sec - dt, params_fit, center)
+    img_fit = tensorize.splat_gauss(xy_fit, valid, pol, H, W, sigma=sigma)
+
     # score the RAW accumulators: all candidates carry the same event mass,
     # so patch-STD is directly comparable — min-max normalizing first would
     # penalize exactly the sharpest candidate (its peak is tallest, so
     # normalization compresses the rest of its dynamic range)
-    imgs_raw = jnp.stack([img_h, img_se2, img_dp])
+    imgs_raw = jnp.stack([img_h, img_se2, img_dp, img_fit])
     scores = jax.vmap(tensorize.patch_std_mean)(imgs_raw)
-    # DPose candidate only competes when the prior exists
+    # conditional candidates only compete when their inputs exist
     scores = scores.at[2].set(jnp.where(have_dpose, scores[2], -jnp.inf))
+    scores = scores.at[3].set(
+        jnp.where(have_klt & (n_fit >= 6), scores[3], -jnp.inf)
+    )
     best = jnp.argmax(scores)
     # select + normalize ON DEVICE: the host only ever needs the winner
     best_img = tensorize.normalize_to_image(imgs_raw[best])
@@ -207,6 +224,10 @@ class EventWindowBuilder:
         # PoseDepthInfo analog: L2 posts (T0, T1, med_depth) back here
         # (reference include/Utils/MyDataTypes.h:547-582)
         self.pose_prior: Optional[tuple[np.ndarray, np.ndarray, float]] = None
+        # latest KLT correspondence set (prev_pts, cur_pts, ok, dt) for the
+        # measured-flow MCI candidate
+        self._klt_fit = None
+        self._last_chunk_ts = 0.0
         self.stats = {"chunks": 0, "windows": 0, "idle": 0, "ev_truncated": 0}
 
     # ------------------------------------------------------------- input
@@ -290,6 +311,13 @@ class EventWindowBuilder:
             )
             self.last_med_disp = med
             self._adapt_chunk_size(med)
+            # keep the correspondences: they seed the measured-flow MCI
+            # candidate (fit_rt2d_points) at window completion
+            self._klt_fit = (
+                self.prev_pts, res.xy, self.prev_pts_valid & res.ok,
+                float(chunk[-1, 0]) - self._last_chunk_ts,
+            )
+        self._last_chunk_ts = float(chunk[-1, 0])
 
         # refresh reference corners on the new chunk image
         xy, resp, vmask = fast.detect_grid(
@@ -339,11 +367,22 @@ class EventWindowBuilder:
             T0 = T1 = np.eye(4, dtype=np.float32)
             depth, have_dpose = 1.0, False
 
+        if self._klt_fit is not None:
+            kp, kc, kok, kdt = self._klt_fit
+            have_klt = True
+        else:
+            n = cfg.n_klt_pts
+            kp = kc = jnp.zeros((n, 2), jnp.float32)
+            kok = jnp.zeros(n, bool)
+            kdt, have_klt = 1e-3, False
+
         best_img, best, scores, se2 = _make_candidates_jit(
             jnp.asarray(ev_pad), jnp.asarray(v_pad),
             jnp.asarray(t1 - t0, jnp.float32),
             jnp.asarray(T0, jnp.float32), jnp.asarray(T1, jnp.float32),
             jnp.asarray(depth, jnp.float32), jnp.asarray(have_dpose),
+            kp, kc, kok, jnp.asarray(kdt, jnp.float32),
+            jnp.asarray(have_klt),
             self.cam, H=cfg.img_h, W=cfg.img_w, sigma=cfg.sigma,
             cm_iters=cfg.cm_iters,
         )
@@ -354,7 +393,7 @@ class EventWindowBuilder:
             jnp.concatenate([best[None].astype(jnp.float32), scores])
         )
         best_i = int(meta[0])
-        kind = ["hist", "se2", "dpose"][best_i]
+        kind = ["hist", "se2", "dpose", "klt2d"][best_i]
         self.stats["windows"] += 1
         return PoseImage(
             img=best_img, ts=t1, ts0=t0, reconst_stat=1,

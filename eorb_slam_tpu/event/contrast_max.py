@@ -75,3 +75,40 @@ def maximize_rt2d(
         0, iters, body, (params0, jnp.asarray(lr, xy.dtype), c0)
     )
     return p, c, c0
+
+
+def fit_rt2d_points(
+    prev_pts: jnp.ndarray,   # (Np,2) KLT reference corners
+    cur_pts: jnp.ndarray,    # (Np,2) tracked positions
+    valid: jnp.ndarray,      # (Np,) bool
+    dt: jnp.ndarray,         # () time between the two point sets (seconds)
+    center: jnp.ndarray,     # (2,) rotation center (image center)
+):
+    """Closed-form (omega, vx, vy) flow fit from matched points.
+
+    TPU-native equivalent of the reference's SE2 fit of matched keypoints
+    (MyOptimizer::optimize2D, include/Utils/MyOptimizer.h:78), which feeds
+    one of the MCI candidates: small-angle least squares of the model
+    flow = dt * [-omega*(y-cy) + vx, omega*(x-cx) + vy] against the
+    measured KLT displacements. Returns ((3,) params, () n_used)."""
+    w = valid.astype(prev_pts.dtype)
+    d = cur_pts - prev_pts                                   # (Np,2)
+    rx = prev_pts[:, 0] - center[0]
+    ry = prev_pts[:, 1] - center[1]
+    dt = jnp.maximum(dt, 1e-9)
+    zero = jnp.zeros_like(rx)
+    one = jnp.ones_like(rx)
+    # rows: [ -ry 1 0 ; rx 0 1 ] * dt, stacked per point
+    A = jnp.stack([
+        jnp.stack([-ry, one, zero], axis=-1),
+        jnp.stack([rx, zero, one], axis=-1),
+    ], axis=1) * dt                                          # (Np,2,3)
+    Aw = A * w[:, None, None]
+    H = jnp.einsum("nij,nik->jk", Aw, A)
+    b = jnp.einsum("nij,ni->j", Aw, d)
+    H = H + 1e-9 * jnp.eye(3, dtype=H.dtype) * jnp.maximum(
+        jnp.trace(H) / 3.0, 1.0
+    )
+    params = jnp.linalg.solve(H, b)
+    params = jnp.where(jnp.isfinite(params).all(), params, jnp.zeros(3, H.dtype))
+    return params, jnp.sum(valid.astype(jnp.int32))

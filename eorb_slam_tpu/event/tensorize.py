@@ -137,6 +137,28 @@ def warp_se3_depth(
     return cam_mod.pinhole_project_linear(cam_params, pts_1), pts_1[..., 2]
 
 
+def warp_se3_depthmap(
+    xy: jnp.ndarray,          # (N,2) undistorted pixel coords
+    t_rel: jnp.ndarray,       # (N,) in [0,1]
+    T0: jnp.ndarray,
+    T1: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    depth_map: jnp.ndarray,   # (H,W) per-pixel depth, <=0 marks holes
+    default_depth,            # scalar fallback for holes (median scene depth)
+):
+    """Per-pixel-depth variant of :func:`warp_se3_depth` (reference
+    ev2mci_gg_f MyDepthMap overload, src/Event/EventConversion.cc:451;
+    MyDepthMap nearest lookup, include/Utils/MyDataTypes.h:518-545): each
+    event unprojects through the depth sampled at its own pixel (nearest
+    neighbour), holes fall back to the median scene depth."""
+    H, W = depth_map.shape
+    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, H - 1)
+    d = depth_map[yi, xi]
+    d = jnp.where(d > 0, d, jnp.asarray(default_depth, d.dtype))
+    return warp_se3_depth(xy, t_rel, T0, T1, cam_params, d)
+
+
 # ------------------------------------------------------------- focus metrics
 
 

@@ -142,3 +142,62 @@ class TestWarpSE3:
             cm.pinhole_project_linear(cam, lie.se3_apply(T1, pt_w))
         )
         assert np.allclose(np.asarray(xy_w), uv1[None, :], atol=0.15)
+
+
+class TestFitRT2DPoints:
+    def test_recovers_flow_from_matches(self):
+        rng = np.random.default_rng(2)
+        w_true, vx_true, vy_true = 3.0, 50.0, -30.0
+        dt = 0.02
+        center = jnp.asarray([W / 2.0, H / 2.0], jnp.float32)
+        prev = rng.uniform(20, 200, (64, 2)).astype(np.float32)
+        rx = prev[:, 0] - W / 2.0
+        ry = prev[:, 1] - H / 2.0
+        cur = prev + dt * np.stack(
+            [-w_true * ry + vx_true, w_true * rx + vy_true], -1
+        ).astype(np.float32)
+        cur += rng.normal(0, 0.1, cur.shape).astype(np.float32)
+        params, n = contrast_max.fit_rt2d_points(
+            jnp.asarray(prev), jnp.asarray(cur), jnp.ones(64, bool),
+            jnp.asarray(dt, jnp.float32), center,
+        )
+        p = np.asarray(params)
+        assert int(n) == 64
+        assert abs(p[0] - w_true) < 0.3
+        assert abs(p[1] - vx_true) < 2.0
+        assert abs(p[2] - vy_true) < 2.0
+
+    def test_degenerate_is_safe(self):
+        center = jnp.asarray([W / 2.0, H / 2.0], jnp.float32)
+        params, n = contrast_max.fit_rt2d_points(
+            jnp.zeros((16, 2)), jnp.zeros((16, 2)), jnp.zeros(16, bool),
+            jnp.asarray(1e-3, jnp.float32), center,
+        )
+        assert int(n) == 0
+        assert np.isfinite(np.asarray(params)).all()
+
+
+class TestWarpSE3DepthMap:
+    def test_matches_constant_depth_on_flat_map(self):
+        cam = camera.make_pinhole(200.0, 200.0, W / 2, H / 2)
+        xy = jnp.asarray([[30.0, 40.0], [200.0, 150.0]], jnp.float32)
+        t_rel = jnp.asarray([0.3, 0.8], jnp.float32)
+        T0 = jnp.eye(4)
+        T1 = lie.se3_exp(jnp.asarray([0.1, -0.05, 0.02, 0.01, 0.0, 0.0]))
+        dmap = jnp.full((H, W), 5.0, jnp.float32)
+        a, za = tensorize.warp_se3_depth(xy, t_rel, T0, T1, cam, 5.0)
+        b, zb = tensorize.warp_se3_depthmap(xy, t_rel, T0, T1, cam, dmap, 9.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(za), np.asarray(zb), atol=1e-5)
+
+    def test_holes_fall_back_to_default(self):
+        cam = camera.make_pinhole(200.0, 200.0, W / 2, H / 2)
+        xy = jnp.asarray([[30.0, 40.0]], jnp.float32)
+        t_rel = jnp.asarray([0.5], jnp.float32)
+        T1 = lie.se3_exp(jnp.asarray([0.3, 0.0, 0.0, 0.0, 0.0, 0.0]))
+        dmap = jnp.zeros((H, W), jnp.float32)  # all holes
+        a, _ = tensorize.warp_se3_depthmap(
+            xy, t_rel, jnp.eye(4), T1, cam, dmap, 4.0
+        )
+        b, _ = tensorize.warp_se3_depth(xy, t_rel, jnp.eye(4), T1, cam, 4.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

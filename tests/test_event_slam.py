@@ -116,6 +116,9 @@ def test_contrast_max_sharpens_fast_window():
         jnp.asarray(pad), jnp.asarray(v),
         jnp.asarray(ev[-1, 0] - ev[0, 0], jnp.float32),
         eye, eye, jnp.asarray(1.0, jnp.float32), jnp.asarray(False),
+        jnp.zeros((8, 2), jnp.float32), jnp.zeros((8, 2), jnp.float32),
+        jnp.zeros(8, bool), jnp.asarray(1e-3, jnp.float32),
+        jnp.asarray(False),
         CAM, H=H, W=W, sigma=1.0, cm_iters=40,
     )
     assert float(scores[1]) > float(scores[0])
