@@ -95,6 +95,8 @@ def save_slam(path: str, slam) -> None:
     extra = {
         "state": slam.state,
         "n_kf": slam.n_kf,
+        "kf_order": [int(s) for s in slam._kf_order],
+        "kf_seq_next": int(slam._kf_seq_next),
         "T_last": np.asarray(slam.T_last).tolist(),
         "velocity": np.asarray(slam.velocity).tolist(),
         "frames_since_kf": slam.frames_since_kf,
@@ -109,7 +111,10 @@ def save_slam(path: str, slam) -> None:
             [ts, np.asarray(T).tolist()] for ts, T in slam._traj_frozen
         ],
     }
-    extra_arrays = {"host.key": np.asarray(slam.key)}
+    extra_arrays = {
+        "host.key": np.asarray(slam.key),
+        "host.kf_seq": np.asarray(slam.kf_seq),
+    }
     if slam._init_frame is not None:
         extra["init_frame_ts"] = float(slam._init_frame.ts)
         for fld in _INIT_FRAME_FIELDS:
@@ -129,7 +134,13 @@ def load_slam(path: str, slam) -> None:
         )
     slam.atlas = atlas
     slam.state = extra["state"]
-    slam.n_kf = extra["n_kf"]
+    if "kf_order" in extra:
+        slam._kf_order = [int(s) for s in extra["kf_order"]]
+        slam._kf_seq_next = int(extra["kf_seq_next"])
+        slam.kf_seq = np.asarray(data["host.kf_seq"]).copy()
+        slam.last_kf_slot = slam._kf_order[-1] if slam._kf_order else -1
+    else:  # pre-lifecycle checkpoints: contiguous slots
+        slam.n_kf = extra["n_kf"]
     slam.T_last = jnp.asarray(np.asarray(extra["T_last"], np.float32))
     slam.velocity = jnp.asarray(np.asarray(extra["velocity"], np.float32))
     slam.frames_since_kf = extra["frames_since_kf"]

@@ -83,6 +83,7 @@ def linear_alignment(
     Twb: jnp.ndarray,                   # (K,4,4) body poses in vision frame
     pre_stack: pre_mod.Preintegrated,   # batched (K,...)
     edge_valid: jnp.ndarray,            # (K,) bool
+    prev=None,                          # (K,) int32 temporal predecessor slot
 ):
     """Closed-form visual-inertial alignment (Martinelli-style).
 
@@ -101,9 +102,12 @@ def linear_alignment(
     R = Twb[:, :3, :3]
     p = Twb[:, :3, 3]
     n_var = 4 + 3 * K
+    if prev is None:
+        prev = jnp.arange(K, dtype=jnp.int32) - 1
+    edge_valid = edge_valid & (prev >= 0)
 
     def edge_rows(k):
-        a = jnp.maximum(k - 1, 0)
+        a = jnp.maximum(prev[k], 0)
         Ra_T = R[a].T
         t = pre_stack.dt[k]
         dV = pre_stack.dV[k]
@@ -166,6 +170,7 @@ def inertial_init(
     prior_acc: float = 1e10,
     iters: int = 40,
     fix_scale: bool = False,
+    prev=None,             # (K,) int32 temporal predecessor slot per edge
 ) -> InertialInitResult:
     """Estimate (velocities, biases, gravity dir, scale) with poses fixed.
 
@@ -177,10 +182,13 @@ def inertial_init(
     dtype = Twb.dtype
     Rwb = Twb[:, :3, :3]
     pwb = Twb[:, :3, 3]
+    if prev is None:
+        prev = jnp.arange(K, dtype=jnp.int32) - 1
+    edge_valid = edge_valid & (prev >= 0)
 
     # closed-form seed: without it the GN falls into an s~1 local minimum
     # whenever the mono map is far off metric scale
-    s_lin, g_lin, v0 = linear_alignment(Twb, pre_stack, edge_valid)
+    s_lin, g_lin, v0 = linear_alignment(Twb, pre_stack, edge_valid, prev)
     s_lin = jnp.clip(jnp.abs(s_lin), 1e-3, 1e4)
     # gravity direction params from the linear g estimate: rwg such that
     # Exp([a,b,0]) @ (0,0,-G) ~ g_lin
@@ -209,9 +217,10 @@ def inertial_init(
         g = gravity_from_dir(rwg)
 
         def edge(k):
+            a = jnp.maximum(prev[k], 0)
             pre_k = jax.tree_util.tree_map(lambda x: x[k], pre_stack)
             r = inertial_residual(
-                Rwb[k - 1], pwb[k - 1], vel[k - 1], bg, ba,
+                Rwb[a], pwb[a], vel[a], bg, ba,
                 Rwb[k], pwb[k], vel[k], pre_k, g, scale=s,
             )
             return info_L[k].T @ r

@@ -34,9 +34,13 @@ class VIBAProblem(NamedTuple):
     kf_vel: jnp.ndarray                  # (K,3) body velocity per KF
     kf_bg: jnp.ndarray                   # (K,3)
     kf_ba: jnp.ndarray                   # (K,3)
-    pre: pre_mod.Preintegrated           # batched (K,...); slot k: KF k-1 -> k
+    pre: pre_mod.Preintegrated           # batched (K,...); slot k: prev[k] -> k
     edge_valid: jnp.ndarray              # (K,) bool
     g: jnp.ndarray                       # (3,) gravity in world
+    # temporal predecessor slot per keyframe (-1 = none); None = arange-1
+    # (slots are REUSED after keyframe culling, so slot order is not
+    # temporal order — the chain must be explicit)
+    prev: jnp.ndarray | None = None
 
 
 class VIBAResult(NamedTuple):
@@ -51,13 +55,12 @@ class VIBAResult(NamedTuple):
 
 
 def _edge_residual(p: VIBAProblem, kf_T, kf_vel, kf_bg, kf_ba,
-                   k, dx1, dx2):
+                   k, a, dx1, dx2):
     """Whitened inertial residual of edge k with perturbations applied.
 
     dx = (xi 6, dv 3, dbg 3, dba 3) on each endpoint; pose perturbation is
     left-multiplicative on Tcw, matching schur_ba's convention so the
     assembled blocks share one coordinate system."""
-    a = k - 1
     T1 = lie.se3_exp(dx1[:6]) @ kf_T[a]
     T2 = lie.se3_exp(dx2[:6]) @ kf_T[k]
     Twb1 = pre_mod.Twb_from_Tcw(T1, p.Tbc)
@@ -73,10 +76,9 @@ def _edge_residual(p: VIBAProblem, kf_T, kf_vel, kf_bg, kf_ba,
     )
 
 
-def _bias_rw_residual(p: VIBAProblem, kf_bg, kf_ba, k, dx1, dx2):
+def _bias_rw_residual(p: VIBAProblem, kf_bg, kf_ba, k, a, dx1, dx2):
     """Whitened bias random-walk residuals (EdgeGyroRW/EdgeAccRW): the
     information comes from the preintegration's walk block C[9:15,9:15]."""
-    a = k - 1
     dbg = (kf_bg[k] + dx2[9:12]) - (kf_bg[a] + dx1[9:12])
     dba = (kf_ba[k] + dx2[12:15]) - (kf_ba[a] + dx1[12:15])
     Cw = p.pre.C[k, 9:15, 9:15] + jnp.eye(6, dtype=dbg.dtype) * 1e-12
@@ -90,27 +92,28 @@ def _inertial_system(p: VIBAProblem, kf_T, kf_vel, kf_bg, kf_ba):
     K = kf_T.shape[0]
     dtype = kf_T.dtype
     z = jnp.zeros(15, dtype)
+    ks = jnp.arange(K)
+    prev = p.prev if p.prev is not None else ks - 1
+    a_idx = jnp.maximum(prev, 0)
 
-    def per_edge(k):
+    def per_edge(k, a):
         r_fn = lambda d1, d2: jnp.concatenate([
-            _edge_residual(p, kf_T, kf_vel, kf_bg, kf_ba, k, d1, d2),
-            _bias_rw_residual(p, kf_bg, kf_ba, k, d1, d2),
+            _edge_residual(p, kf_T, kf_vel, kf_bg, kf_ba, k, a, d1, d2),
+            _bias_rw_residual(p, kf_bg, kf_ba, k, a, d1, d2),
         ])
         r = r_fn(z, z)                                        # (15,)
         J1 = jax.jacfwd(r_fn, argnums=0)(z, z)                # (15,15)
         J2 = jax.jacfwd(r_fn, argnums=1)(z, z)
         return r, J1, J2
 
-    ks = jnp.arange(K)
-    r, J1, J2 = jax.vmap(per_edge)(ks)
-    w = p.edge_valid.astype(dtype)
+    r, J1, J2 = jax.vmap(per_edge)(ks, a_idx)
+    w = (p.edge_valid & (prev >= 0)).astype(dtype)
     r = r * w[:, None]
     J1 = J1 * w[:, None, None]
     J2 = J2 * w[:, None, None]
 
     H = jnp.zeros((K, K, 15, 15), dtype)
     b = jnp.zeros((K, 15), dtype)
-    a_idx = jnp.maximum(ks - 1, 0)
     H = H.at[a_idx, a_idx].add(jnp.einsum("kri,krj->kij", J1, J1))
     H = H.at[a_idx, ks].add(jnp.einsum("kri,krj->kij", J1, J2))
     H = H.at[ks, a_idx].add(jnp.einsum("kri,krj->kij", J2, J1))

@@ -196,12 +196,16 @@ class ContinuousEventTracker(slam_system.MonoSlam):
                 kf_T=self.map.kf_T.at[1].set(jnp.asarray(T1b)),
             )
 
-        # adopt tracks: landmark links + birth at KF0
+        # adopt tracks: landmark links + birth at KF0. birth_kf stores the
+        # monotone keyframe SEQUENCE id (slots are reused after culling, so
+        # slot indices do not order in time)
+        seq0 = int(self.kf_seq[0])
+        seq1 = int(self.kf_seq[1])
         self.tracks = self.tracks._replace(
             lm=jnp.where(lm_ids >= 0, lm_ids, self.tracks.lm),
             birth_kf=jnp.where(
-                self.tracks.valid & alive, 0,
-                jnp.where(self.tracks.valid, 1, self.tracks.birth_kf),
+                self.tracks.valid & alive, seq0,
+                jnp.where(self.tracks.valid, seq1, self.tracks.birth_kf),
             ),
         )
         self._ref_xy = None
@@ -272,14 +276,12 @@ class ContinuousEventTracker(slam_system.MonoSlam):
         (reference EvAsynchTrackerU::localMapping KF policy: median track
         area / displacement thresholds, src/Event/EvAsynchTrackerU.cpp:
         1042-1089) plus the inlier-ratio / frame-count rules of Tracking."""
-        if self.n_kf >= self.map.K:
-            return False
-        last = self.n_kf - 1
+        last = self._kf_order[-1]
         both = (
             self.tracks.valid
             & self.map.kf_feat_valid[last]
             & (self.tracks.birth_kf >= 0)
-            & (self.tracks.birth_kf <= last)
+            & (self.tracks.birth_kf <= int(self.kf_seq[last]))
         )
         nb = int(np.asarray(both).sum())
         if nb >= 8:
@@ -293,7 +295,7 @@ class ContinuousEventTracker(slam_system.MonoSlam):
         )
 
     def _insert_track_keyframe(self, ts: float, Tcw: jnp.ndarray):
-        slot_i = self.n_kf
+        slot_i = self._alloc_kf_slot()
         slot = jnp.asarray(slot_i)
         N = self.n_tracks
         zeros = jnp.zeros(N, jnp.int32)
@@ -305,12 +307,13 @@ class ContinuousEventTracker(slam_system.MonoSlam):
         # aligned triangulation against recent keyframes: row i of both
         # keyframes is the same physical track iff it was born at or before
         # the older keyframe (rebirth bumps birth_kf, so no aliasing)
-        for back in range(1, min(3, slot_i) + 1):
-            kf_b = slot_i - back
+        order = self._kf_order
+        for back in range(1, min(3, len(order)) + 1):
+            kf_b = order[-back]
             slot_ok = (
                 self.tracks.valid
                 & (self.tracks.birth_kf >= 0)
-                & (self.tracks.birth_kf <= kf_b)
+                & (self.tracks.birth_kf <= int(self.kf_seq[kf_b]))
             )
             self.map, lm_ids = local_mapping.create_new_landmarks_aligned(
                 self.map, self.cam, slot, jnp.asarray(kf_b), slot_ok
@@ -318,23 +321,24 @@ class ContinuousEventTracker(slam_system.MonoSlam):
             self.tracks = self.tracks._replace(
                 lm=jnp.where(lm_ids >= 0, lm_ids, self.tracks.lm)
             )
+        self._kf_order.append(slot_i)
+        self.kf_seq[slot_i] = self._kf_seq_next
+        self._kf_seq_next += 1
+        self.last_kf_slot = slot_i
         # adopt fresh tracks into this keyframe
         self.tracks = self.tracks._replace(
             birth_kf=jnp.where(
                 self.tracks.valid & (self.tracks.birth_kf < 0),
-                slot_i, self.tracks.birth_kf,
+                int(self.kf_seq[slot_i]), self.tracks.birth_kf,
             )
         )
-        self.n_kf += 1
         self.frames_since_kf = 0
 
-        lo = max(2, self.n_kf - self.local_window)
-        kf_free = np.zeros(self.map.K, bool)
-        kf_free[lo : self.n_kf] = True
         self.map, _, _ = local_mapping.local_ba(
-            self.map, self.cam, jnp.asarray(kf_free)
+            self.map, self.cam, jnp.asarray(self._ba_window())
         )
-        # drop links to landmarks the BA culled
+        self._cull_keyframes()
+        # drop links to landmarks that BA or culling invalidated
         lm_idx = jnp.where(self.tracks.lm >= 0, self.tracks.lm, 0)
         self.tracks = self.tracks._replace(
             lm=jnp.where(
@@ -342,7 +346,7 @@ class ContinuousEventTracker(slam_system.MonoSlam):
                 -1, self.tracks.lm,
             )
         )
-        self.T_last = self.map.kf_T[self.n_kf - 1]
+        self.T_last = self.map.kf_T[slot_i]
         pts_w, obs_ok = self._lm_observations()
         self.n_inliers_ref = int(np.asarray(obs_ok).sum())
         self.stats["kf"] = self.n_kf

@@ -159,6 +159,103 @@ def create_depth_landmarks(
     return m, jnp.sum((lm_ids >= 0).astype(jnp.int32))
 
 
+@jax.jit
+def fuse_duplicates(
+    m: ms.MapState,
+    cam_params: jnp.ndarray,
+    kf_a: jnp.ndarray,      # () int32 — new keyframe slot
+    kf_b: jnp.ndarray,      # () int32 — covisible neighbor slot
+    search_px: float = 4.0,
+):
+    """Merge duplicate landmarks between two keyframes.
+
+    Equivalent of LocalMapping::SearchInNeighbors + ORBmatcher::Fuse
+    (reference src/LocalMapping.cc, src/ORBmatcher.cc:1407): project the
+    neighbor's landmarks into the new keyframe; where a landmark-bearing
+    feature of A descriptor-matches a projected landmark of B that is a
+    DIFFERENT landmark, the two are duplicates of the same 3D point — the
+    one with more observations wins (MapPoint::Replace), the loser's
+    observations are rewired into the winner's row and every feature link
+    is redirected.
+
+    Returns (MapState, n_fused)."""
+    P = m.P
+    M = m.M
+    Ta = m.kf_T[kf_a]
+    la = m.kf_feat_lm[kf_a]
+    lb = m.kf_feat_lm[kf_b]
+    la_c = jnp.clip(la, 0)
+    lb_c = jnp.clip(lb, 0)
+    va = m.kf_feat_valid[kf_a] & (la >= 0) & m.lm_valid[la_c]
+    vb = m.kf_feat_valid[kf_b] & (lb >= 0) & m.lm_valid[lb_c]
+
+    # project B's landmarks into A's image; gate candidate pairs by pixel
+    # distance to A's features
+    pos_b = m.lm_pos[lb_c]
+    pc = lie.se3_apply(Ta, pos_b)
+    uv = cam_mod.pinhole_project_linear(cam_params, pc)
+    vb = vb & (pc[:, 2] > 0.05) & jnp.isfinite(uv).all(axis=-1)
+    d2 = jnp.sum((m.kf_xy[kf_a][:, None, :] - uv[None, :, :]) ** 2, axis=-1)
+    pair = d2 <= search_px**2
+
+    j, dist = matching.match_nnratio(
+        m.kf_desc_pm1[kf_a], va, m.kf_desc_pm1[kf_b], vb,
+        pair_mask=pair, max_dist=matching.TH_LOW, nn_ratio=0.9, mutual=True,
+    )
+    lb_j = lb[jnp.clip(j, 0)]
+    dup = (j >= 0) & va & (la != lb_j)
+
+    # winner = more observations (MapPoint::Replace keeps higher nObs)
+    na = m.lm_nobs[la_c]
+    nb = m.lm_nobs[jnp.clip(lb_j, 0)]
+    w = jnp.where(na >= nb, la, lb_j)
+    l = jnp.where(na >= nb, lb_j, la)
+    w_c = jnp.clip(w, 0)
+    l_c = jnp.clip(l, 0)
+
+    # keep one merge per loser and per winner (best descriptor distance),
+    # and never merge a landmark that is simultaneously a winner elsewhere
+    INF = jnp.asarray(matching.BIG, dist.dtype)
+    d_eff = jnp.where(dup, dist, INF)
+    best_l = jnp.full((M,), INF).at[l_c].min(d_eff)
+    best_w = jnp.full((M,), INF).at[w_c].min(d_eff)
+    keep = dup & (d_eff <= best_l[l_c]) & (d_eff <= best_w[w_c])
+    win_mask = jnp.zeros(M, bool).at[jnp.where(keep, w_c, M)].set(
+        True, mode="drop")
+    keep = keep & ~win_mask[l_c]
+    # (exact distance ties could keep two pairs sharing a loser; the later
+    # scatter then wins arbitrarily — duplicates are rare enough that the
+    # occasional dropped merge is harmless)
+
+    # move the loser's valid observations into the winner's free columns
+    occ_w = jnp.sum(m.obs_valid[w_c], axis=1).astype(jnp.int32)   # (N,)
+    lrow_valid = m.obs_valid[l_c] & keep[:, None]                 # (N,P)
+    rank = jnp.cumsum(lrow_valid, axis=1) - 1                     # (N,P)
+    tgt = occ_w[:, None] + rank
+    ok_move = lrow_valid & (tgt >= 0) & (tgt < P)
+    row_idx = jnp.where(ok_move, w_c[:, None], M)                 # drop OOB
+    col_idx = jnp.clip(tgt, 0, P - 1)
+    obs_kf = m.obs_kf.at[row_idx, col_idx].set(m.obs_kf[l_c], mode="drop")
+    obs_feat = m.obs_feat.at[row_idx, col_idx].set(
+        m.obs_feat[l_c], mode="drop")
+    obs_valid = m.obs_valid.at[row_idx, col_idx].set(True, mode="drop")
+
+    # kill the losers: invalidate their rows + redirect every feature link
+    dead = jnp.where(keep, l_c, M)
+    obs_valid = obs_valid.at[dead].set(jnp.zeros(P, bool), mode="drop")
+    lm_valid = m.lm_valid.at[dead].set(False, mode="drop")
+    remap = jnp.arange(M, dtype=jnp.int32).at[dead].set(w_c, mode="drop")
+    kf_feat_lm = jnp.where(m.kf_feat_lm >= 0,
+                           remap[jnp.clip(m.kf_feat_lm, 0)], -1)
+
+    m = m._replace(
+        obs_kf=obs_kf, obs_feat=obs_feat, obs_valid=obs_valid,
+        lm_valid=lm_valid, kf_feat_lm=kf_feat_lm,
+        lm_nobs=jnp.sum(obs_valid, axis=1, dtype=jnp.int32),
+    )
+    return m, jnp.sum(keep.astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def local_ba(
     m: ms.MapState,
@@ -194,7 +291,12 @@ def local_ba(
     new_obs_valid = m.obs_valid & (res.obs_inlier | (m.lm_nobs[:, None] <= 2))
     m = m._replace(kf_T=res.kf_T, lm_pos=res.lm_pos, obs_valid=new_obs_valid)
 
-    # landmark culling: fewer than 2 surviving observations -> invalid
-    nobs = jnp.sum(m.obs_valid, axis=1)
-    m = m._replace(lm_valid=m.lm_valid & (nobs >= 2))
+    # landmark culling: fewer than 2 surviving observations -> invalid;
+    # clear feature links to the culled landmarks so every consumer of
+    # kf_feat_lm sees a consistent table
+    nobs = jnp.sum(m.obs_valid, axis=1, dtype=jnp.int32)
+    lm_valid = m.lm_valid & (nobs >= 2)
+    link_ok = (m.kf_feat_lm >= 0) & lm_valid[jnp.clip(m.kf_feat_lm, 0)]
+    m = m._replace(lm_valid=lm_valid, lm_nobs=nobs,
+                   kf_feat_lm=jnp.where(link_ok, m.kf_feat_lm, -1))
     return m, res.cost0, res.cost

@@ -61,6 +61,11 @@ class LoopCloser:
         )
         self.db = bow.add_keyframe(self.db, slot, bw)
 
+    def remove_keyframe(self, slot: int) -> None:
+        """Drop a culled keyframe from the retrieval database (slot will be
+        reused; stale BoW rows would resurface as false candidates)."""
+        self.db = bow.erase_keyframe(self.db, slot)
+
     # ------------------------------------------------------------- detection
     def detect(self, m: ms.MapState, query: int):
         """Returns (candidate_slot, score) or (None, 0)."""
@@ -104,9 +109,12 @@ class LoopCloser:
     # ------------------------------------------------------------ correction
     def correct(self, m: ms.MapState, query: int, cand: int,
                 res: sim3_solver.Sim3RansacResult,
-                run_gba: bool = True):
+                run_gba: bool = True, order=None):
         """Build the essential graph, apply the loop constraint, optimize,
-        and propagate corrections to keyframes and landmarks."""
+        and propagate corrections to keyframes and landmarks.
+
+        `order`: active keyframe slots in TEMPORAL order (slot indices are
+        reused after culling, so slot order is not insertion order)."""
         K = m.K
         kf_valid = np.asarray(m.kf_valid)
         kf_T = np.asarray(m.kf_T)
@@ -120,7 +128,8 @@ class LoopCloser:
         # strong covisibility edges, and the loop edge
         C = np.asarray(covisibility.shared_counts(m))
         ei, ej, ew = [], [], []
-        valid_slots = np.flatnonzero(kf_valid)
+        valid_slots = (np.asarray(order, np.int64) if order is not None
+                       else np.flatnonzero(kf_valid))
         for a, b in zip(valid_slots[:-1], valid_slots[1:]):
             ei.append(a); ej.append(b); ew.append(1.0)
         strong = np.argwhere(np.triu(C, 1) >= 100)
@@ -171,7 +180,7 @@ class LoopCloser:
         return m
 
     def detect_and_correct(self, m: ms.MapState, query: int,
-                           run_gba: bool = True):
+                           run_gba: bool = True, order=None):
         cand, score = self.detect(m, query)
         if cand is None:
             return m, LoopInfo(False, query, -1, 0, 1.0)
@@ -179,5 +188,5 @@ class LoopCloser:
         n_inl = int(res.n_inliers)
         if n_inl < self.min_inliers:
             return m, LoopInfo(False, query, cand, n_inl, 1.0)
-        m = self.correct(m, query, cand, res, run_gba=run_gba)
+        m = self.correct(m, query, cand, res, run_gba=run_gba, order=order)
         return m, LoopInfo(True, query, cand, n_inl, float(res.s))

@@ -113,14 +113,22 @@ def insert_keyframe(
         kf_feat_lm=m.kf_feat_lm.at[slot].set(feat_lm),
     )
     # register observations: for each feature matched to a landmark, append
-    # (slot, feat_idx) into that landmark's next free obs slot (lm_nobs % P)
+    # (slot, feat_idx) into that landmark's first FREE obs column (derived
+    # from obs_valid occupancy, so it stays consistent after keyframe
+    # culling invalidates arbitrary columns). When a row is full, overwrite
+    # the OLDEST observation by its keyframe timestamp (the reference keeps
+    # all observations; with a fixed P budget dropping the stalest one is
+    # the bounded-memory equivalent).
     N = feat_lm.shape[0]
     P = m.P
     has_lm = (feat_lm >= 0) & feat_valid
     lm_idx = jnp.where(has_lm, feat_lm, 0)
-    # occupancy cursor per landmark (ring overwrite beyond P observations)
-    cursor = jnp.clip(m.lm_nobs[lm_idx], 0, P - 1)
-    cursor = jnp.where(m.lm_nobs[lm_idx] >= P, m.lm_nobs[lm_idx] % P, cursor)
+    row_valid = m.obs_valid[lm_idx]                       # (N,P)
+    first_free = jnp.argmin(row_valid, axis=1)            # first False (0 if full)
+    full = row_valid.all(axis=1)
+    obs_ts = m.kf_ts[m.obs_kf[lm_idx]]                    # (N,P)
+    oldest = jnp.argmin(jnp.where(row_valid, obs_ts, jnp.inf), axis=1)
+    cursor = jnp.where(full, oldest, first_free).astype(jnp.int32)
     feat_ids = jnp.arange(N, dtype=jnp.int32)
     m = m._replace(
         obs_kf=m.obs_kf.at[lm_idx, cursor].set(
@@ -132,8 +140,8 @@ def insert_keyframe(
         obs_valid=m.obs_valid.at[lm_idx, cursor].set(
             jnp.where(has_lm, True, m.obs_valid[lm_idx, cursor])
         ),
-        lm_nobs=m.lm_nobs.at[lm_idx].add(has_lm.astype(jnp.int32)),
     )
+    m = m._replace(lm_nobs=jnp.sum(m.obs_valid, axis=1, dtype=jnp.int32))
     return m
 
 
@@ -214,6 +222,53 @@ def alloc_landmarks(
         .set(jnp.where(take, lm_ids, m.kf_feat_lm[kf_b, feat_b])),
     )
     return m, lm_ids
+
+
+@jax.jit
+def remove_keyframe(m: MapState, slot: jnp.ndarray) -> MapState:
+    """Erase keyframe `slot` from the map: invalidate the KF row, drop all
+    its observations from the obs table, cull landmarks that fall below two
+    observations, and clear stale feature->landmark links everywhere.
+
+    Equivalent of KeyFrame::SetBadFlag + MapPoint::EraseObservation
+    (reference src/KeyFrame.cc, src/MapPoint.cc). The slot becomes reusable:
+    capacity is a sliding window, not a run-length limit."""
+    K, N = m.kf_feat_lm.shape
+    m = m._replace(
+        kf_valid=m.kf_valid.at[slot].set(False),
+        kf_feat_valid=m.kf_feat_valid.at[slot].set(jnp.zeros(N, bool)),
+        kf_feat_lm=m.kf_feat_lm.at[slot].set(jnp.full(N, -1, jnp.int32)),
+        obs_valid=m.obs_valid & (m.obs_kf != slot),
+    )
+    nobs = jnp.sum(m.obs_valid, axis=1, dtype=jnp.int32)
+    lm_valid = m.lm_valid & (nobs >= 2)
+    m = m._replace(lm_nobs=nobs, lm_valid=lm_valid)
+    # clear feature links to landmarks that just died
+    link_ok = lm_valid[jnp.clip(m.kf_feat_lm, 0)] & (m.kf_feat_lm >= 0)
+    m = m._replace(kf_feat_lm=jnp.where(link_ok, m.kf_feat_lm, -1))
+    return m
+
+
+@jax.jit
+def keyframe_redundancy(m: MapState) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-keyframe redundancy statistics for KeyFrameCulling (reference
+    src/LocalMapping.cc:KeyFrameCulling — a KF is redundant when >=90% of
+    its map points are observed in at least 3 other keyframes).
+
+    Returns (frac (K,), total (K,)): the fraction of each KF's landmark
+    observations whose landmark has >=4 total observations, and the KF's
+    observation count."""
+    K = m.kf_T.shape[0]
+    nobs = jnp.sum(m.obs_valid, axis=1, dtype=jnp.int32)          # (M,)
+    live = m.obs_valid & m.lm_valid[:, None]                      # (M,P)
+    kf_of_obs = jnp.where(live, m.obs_kf, K)                      # (M,P)
+    well_seen = (nobs[:, None] >= 4) & live
+    total = jnp.zeros(K, jnp.int32).at[kf_of_obs.reshape(-1)].add(
+        live.reshape(-1).astype(jnp.int32), mode="drop")
+    red = jnp.zeros(K, jnp.int32).at[kf_of_obs.reshape(-1)].add(
+        well_seen.reshape(-1).astype(jnp.int32), mode="drop")
+    frac = red.astype(jnp.float32) / jnp.maximum(total, 1).astype(jnp.float32)
+    return frac, total
 
 
 @jax.jit

@@ -94,7 +94,17 @@ class MonoSlam:
         self.img_w, self.img_h = img_w, img_h
         self.atlas = atlas_mod.Atlas(K=K, M=M, N=N, P=P)
         self.state = NOT_INITIALIZED
-        self.n_kf = 0
+        # --- keyframe lifecycle (KeyFrameCulling + slot reuse, reference
+        # src/LocalMapping.cc:KeyFrameCulling): the active keyframes are an
+        # ordered list of slots (temporal order), each with a monotone
+        # sequence id; capacity K is a window, not a run-length limit.
+        self._kf_order: list[int] = []
+        self.kf_seq = np.full(K, -1, np.int64)
+        self._kf_seq_next = 0
+        self.last_kf_slot = -1
+        self.kf_culled = 0
+        self.cull_redundancy = 0.9   # >=90% of obs seen in >=3 other KFs
+        self.kf_protect_recent = 3   # never cull the newest KFs
         self.local_window = local_window
         self.min_init_matches = min_init_matches
         # the reference's TwoViewReconstruction requires 50 triangulated
@@ -155,6 +165,94 @@ class MonoSlam:
     @map.setter
     def map(self, m: map_state.MapState) -> None:
         self.atlas.current = m
+
+    # -------------------------------------------------- keyframe lifecycle
+
+    @property
+    def n_kf(self) -> int:
+        return len(self._kf_order)
+
+    @n_kf.setter
+    def n_kf(self, v: int) -> None:
+        """Assigning n_kf = v declares slots 0..v-1 active in temporal order
+        (used by the init paths, which always build into a fresh map)."""
+        self._kf_order = list(range(v))
+        self.kf_seq[:] = -1
+        for s in self._kf_order:
+            self.kf_seq[s] = self._kf_seq_next
+            self._kf_seq_next += 1
+        self.last_kf_slot = self._kf_order[-1] if self._kf_order else -1
+
+    def _kf_ref(self) -> int:
+        return self._kf_order[-1] if self._kf_order else 0
+
+    def _alloc_kf_slot(self) -> int:
+        """Next free keyframe slot; culls a keyframe to make room when the
+        map is at capacity (redundant one if any, else the least useful)."""
+        active = set(self._kf_order)
+        K = self.map.K
+        if len(active) < K:
+            for s in range(K):
+                if s not in active:
+                    return s
+        slot = self._cull_keyframes(force=True)
+        assert slot is not None and slot >= 0
+        return slot
+
+    def _cull_keyframes(self, force: bool = False):
+        """KeyFrameCulling (reference src/LocalMapping.cc:KeyFrameCulling):
+        remove the most redundant keyframe if >=`cull_redundancy` of its
+        observations are covered by >=3 other keyframes. With force=True a
+        slot is ALWAYS freed (sliding-window fallback: the least useful
+        non-recent KF goes). Returns the freed slot or None."""
+        order = self._kf_order
+        if len(order) <= max(self.kf_protect_recent + 1, 3):
+            return None
+        frac, total = map_state.keyframe_redundancy(self.map)
+        frac = np.asarray(frac)
+        total = np.asarray(total)
+        # candidates: all but the origin KF and the most recent ones
+        cand = order[1 : len(order) - self.kf_protect_recent]
+        if not cand:
+            return None
+        scores = [(frac[s], s) for s in cand]
+        best_frac, best_slot = max(scores)
+        redundant = best_frac >= self.cull_redundancy or total[best_slot] == 0
+        if not redundant:
+            if not force:
+                return None
+            # sliding-window fallback: drop the oldest non-origin KF
+            best_slot = cand[0]
+        self._resolve_trajectory_refs(best_slot)
+        self._on_cull_keyframe(best_slot)
+        self.map = map_state.remove_keyframe(self.map, jnp.asarray(best_slot))
+        order.remove(best_slot)
+        self.kf_seq[best_slot] = -1
+        self.kf_culled += 1
+        self.stats["kf_culled"] = self.kf_culled
+        self.stats["kf"] = self.n_kf
+        if self.loop_closer is not None:
+            self.loop_closer.remove_keyframe(best_slot)
+        return best_slot
+
+    def _on_cull_keyframe(self, slot: int) -> None:
+        """Subclass hook fired before KF `slot` is erased (inertial systems
+        merge the preintegration chain across the gap here)."""
+
+    def _resolve_trajectory_refs(self, slot: int) -> None:
+        """Trajectory entries are stored relative to a reference KF slot;
+        before that slot is culled/reused, bake them into absolute poses
+        (ref == -2 marks an absolute Tcw entry)."""
+        if not any(ref == slot for _, _, ref in self.trajectory):
+            return
+        kf_T = np.asarray(self.map.kf_T[slot])
+        out = []
+        for ts, T_rel, ref in self.trajectory:
+            if ref == slot and T_rel is not None:
+                out.append((ts, np.asarray(T_rel) @ kf_T, -2))
+            else:
+                out.append((ts, T_rel, ref))
+        self.trajectory = out
 
     # ---------------------------------------------------------------- input
 
@@ -301,7 +399,7 @@ class MonoSlam:
         self.lost_frames = 0
         self.state = OK
         Tcw = res.Tcw
-        ref = max(self.n_kf - 1, 0)
+        ref = self._kf_ref()
         self.velocity, T_rel = _post_track_update(
             Tcw, self.T_last, self.map.kf_T[ref]
         )
@@ -311,8 +409,9 @@ class MonoSlam:
         # np.asarray it on demand (trajectory_twc / freeze / rescale)
         self.trajectory.append((f.ts, T_rel, ref))
 
-        # keyframe policy (simplified NeedNewKeyFrame, src/Tracking.cc:2083)
-        need_kf = self.n_kf < self.map.K and (
+        # keyframe policy (simplified NeedNewKeyFrame, src/Tracking.cc:2083;
+        # capacity never gates insertion — KeyFrameCulling frees slots)
+        need_kf = (
             n_inl < self.kf_inlier_ratio * max(self.n_inliers_ref, 1)
             or self.frames_since_kf >= self.max_frames_between_kf
             or self._need_kf_extra(f)
@@ -407,14 +506,25 @@ class MonoSlam:
         kf_T = np.asarray(self.map.kf_T)
         for ts, T_rel, ref in self.trajectory:
             if T_rel is not None:
-                self._traj_frozen.append(
-                    (ts, np.linalg.inv(np.asarray(T_rel) @ kf_T[ref]))
-                )
+                Tcw = (np.asarray(T_rel) if ref == -2
+                       else np.asarray(T_rel) @ kf_T[ref])
+                self._traj_frozen.append((ts, np.linalg.inv(Tcw)))
         self.trajectory = []
+
+    def _ba_window(self) -> np.ndarray:
+        """(K,) bool mask of poses the local BA may move: the newest
+        `local_window` keyframes, minus at least TWO older keyframes kept
+        fixed so the monocular scale gauge is pinned."""
+        order = self._kf_order
+        kf_free = np.zeros(self.map.K, bool)
+        for s in order[max(2, len(order) - self.local_window):]:
+            kf_free[s] = True
+        return kf_free
 
     def _insert_keyframe(self, f: FrameInput, res: tracking.TrackResult):
         self._last_kf_ts = f.ts
-        slot = jnp.asarray(self.n_kf)
+        slot_i = self._alloc_kf_slot()
+        slot = jnp.asarray(slot_i)
         self.map = map_state.insert_keyframe(
             self.map, slot, res.Tcw, f.ts, f.xy_ud, f.octave, f.angle,
             f.desc_pm1, f.valid, res.feat_lm,
@@ -422,8 +532,9 @@ class MonoSlam:
         # triangulate against several recent keyframes: consecutive KFs may
         # have too little baseline for the parallax gate (the reference uses
         # up to 20 covisible KFs, src/LocalMapping.cc CreateNewMapPoints)
-        for back in range(1, min(4, self.n_kf) + 1):
-            ref_slot = jnp.asarray(self.n_kf - back)
+        order = self._kf_order
+        for back in range(1, min(4, len(order)) + 1):
+            ref_slot = jnp.asarray(order[-back])
             self.map, n_new = local_mapping.create_new_landmarks(
                 self.map, self.cam, slot, ref_slot
             )
@@ -434,29 +545,34 @@ class MonoSlam:
             self.map, _ = local_mapping.create_depth_landmarks(
                 self.map, self.cam, slot, jnp.asarray(f.depth)
             )
-        self.n_kf += 1
+        self._kf_order.append(slot_i)
+        self.kf_seq[slot_i] = self._kf_seq_next
+        self._kf_seq_next += 1
+        self.last_kf_slot = slot_i
         self.frames_since_kf = 0
         self.n_inliers_ref = int(res.n_inliers)
 
-        # local BA over the last `local_window` keyframes; at least TWO
-        # older keyframes stay fixed so the monocular scale gauge is pinned
-        lo = max(2, self.n_kf - self.local_window)
-        kf_free = np.zeros(self.map.K, bool)
-        kf_free[lo : self.n_kf] = True
+        # duplicate-landmark fusion across the covisible window (reference
+        # LocalMapping::SearchInNeighbors + ORBmatcher::Fuse)
+        self._fuse_neighbors(slot_i)
+
         self.map, c0, c1 = local_mapping.local_ba(
-            self.map, self.cam, jnp.asarray(kf_free)
+            self.map, self.cam, jnp.asarray(self._ba_window())
         )
-        self.T_last = self.map.kf_T[self.n_kf - 1]
+        self.T_last = self.map.kf_T[slot_i]
         self.stats["kf"] = self.n_kf
+
+        # keyframe culling every mapping pass (reference runs it after LBA)
+        self._cull_keyframes()
 
         # place recognition + loop correction (reference LoopClosing::Run
         # consumes every new KF; inline here instead of a thread)
         if self.loop_closer is not None:
-            q = self.n_kf - 1
+            q = slot_i
             self.loop_closer.add_keyframe(self.map, q)
-            if q >= self.loop_min_gap:
+            if len(self._kf_order) >= self.loop_min_gap:
                 self.map, info = self.loop_closer.detect_and_correct(
-                    self.map, q
+                    self.map, q, order=self._kf_order
                 )
                 if info.detected:
                     self.loops_closed += 1
@@ -466,6 +582,20 @@ class MonoSlam:
             if self._stored_dbs and self.n_kf >= 4:
                 self._try_map_merge(q)
         self.stats["lm"] = int(self.map.lm_valid.sum())
+
+    def _fuse_neighbors(self, slot_i: int) -> None:
+        """SearchInNeighbors / Fuse hook (see local_mapping.fuse_duplicates);
+        merges re-triangulated duplicate landmarks between the new keyframe
+        and its recent neighbors."""
+        order = self._kf_order
+        if len(order) < 3:
+            return
+        neighbors = [s for s in order[-4:-1]]
+        for nb in neighbors:
+            self.map, n_fused = local_mapping.fuse_duplicates(
+                self.map, self.cam, jnp.asarray(slot_i), jnp.asarray(nb)
+            )
+        self.stats["fused"] = self.stats.get("fused", 0) + int(n_fused)
 
     def _try_map_merge(self, q: int):
         """Cross-map common-region detection + Sim3 weld (reference
@@ -520,9 +650,17 @@ class MonoSlam:
             S_tc = (Tc[:3, :3], Tc[:3, 3], jnp.asarray(1.0))
             S_total = lie.sim3_mul(*S_wq, *lie.sim3_mul(*Si, *S_tc))
             self.map = self.atlas.merge(idx, *S_total)
-            # merged KFs filled the free slots from n_kf upward; keep the
-            # contiguous-slot invariant every insertion site relies on
-            self.n_kf = int(np.asarray(self.map.kf_valid).sum())
+            # merged KFs landed in arbitrary free slots; rebuild the
+            # temporal order (and sequence ids) from timestamps
+            kv = np.asarray(self.map.kf_valid)
+            ts_all = np.asarray(self.map.kf_ts)
+            slots = np.flatnonzero(kv)
+            self._kf_order = [int(s) for s in slots[np.argsort(ts_all[slots])]]
+            self.kf_seq[:] = -1
+            for s in self._kf_order:
+                self.kf_seq[s] = self._kf_seq_next
+                self._kf_seq_next += 1
+            self.last_kf_slot = self._kf_order[-1] if self._kf_order else -1
             self.stats["kf"] = self.n_kf
             # atlas indices shifted after deletion; re-key the stashes
             del self._stored_dbs[idx]
@@ -548,7 +686,7 @@ class MonoSlam:
         if Tcw is None:
             self.trajectory.append((ts, None, -1))
             return
-        ref = max(self.n_kf - 1, 0)
+        ref = self._kf_ref()
         T_rel = np.asarray(Tcw @ lie.se3_inv(self.map.kf_T[ref]))
         self.trajectory.append((ts, T_rel, ref))
 
@@ -571,8 +709,10 @@ class MonoSlam:
         out = list(self._traj_frozen)
         for ts, T_rel, ref in self.trajectory:
             if T_rel is not None:
-                Tcw = np.asarray(T_rel) @ kf_T[ref]
+                Tcw = (np.asarray(T_rel) if ref == -2
+                       else np.asarray(T_rel) @ kf_T[ref])
                 out.append((ts, np.linalg.inv(Tcw)))
+        out.sort(key=lambda e: e[0])
         return out
 
 

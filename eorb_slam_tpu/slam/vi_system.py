@@ -87,7 +87,12 @@ class MonoInertialSlam(MonoSlam):
         self.max_kf_dt = max_kf_dt
 
         K = self.map.K
-        self.pre_kf = _stack_identity_pre(K)       # factor: KF k-1 -> k
+        self.pre_kf = _stack_identity_pre(K)       # factor: kf_prev[k] -> k
+        # temporal predecessor slot per KF slot (-1 = chain head). Slots are
+        # reused after keyframe culling, so the inertial chain is explicit
+        # (reference merges preintegrations on KF culling,
+        # IMU::Preintegrated::MergePrevious).
+        self.kf_prev = np.full(K, -1, np.int32)
         self.kf_vel = jnp.zeros((K, 3), jnp.float32)
         self.kf_bg = jnp.zeros((K, 3), jnp.float32)
         self.kf_ba = jnp.zeros((K, 3), jnp.float32)
@@ -133,6 +138,8 @@ class MonoInertialSlam(MonoSlam):
             self.pre_kf = jax.tree_util.tree_map(
                 lambda s, x: s.at[1].set(x), self.pre_kf, self.pre_since_kf
             )
+            self.kf_prev[:] = -1
+            self.kf_prev[1] = 0
             self.pre_since_kf = pre_mod.identity_preintegrated()
         elif self._init_frame is f and ref_before is not f:
             # reference frame was replaced: restart the accumulation window
@@ -168,13 +175,15 @@ class MonoInertialSlam(MonoSlam):
         return (f.ts - self._last_kf_ts) >= self.max_kf_dt
 
     def _insert_keyframe(self, f: FrameInput, res):
-        slot = self.n_kf
+        prev_slot = self._kf_order[-1] if self._kf_order else -1
         pre_window = self.pre_since_kf
-        super()._insert_keyframe(f, res)  # increments n_kf, runs local BA
+        super()._insert_keyframe(f, res)  # allocates slot, runs local BA
+        slot = self.last_kf_slot
 
         self.pre_kf = jax.tree_util.tree_map(
             lambda s, x: s.at[slot].set(x), self.pre_kf, pre_window
         )
+        self.kf_prev[slot] = prev_slot
         self.kf_vel = self.kf_vel.at[slot].set(self.vel)
         self.kf_bg = self.kf_bg.at[slot].set(self.bg)
         self.kf_ba = self.kf_ba.at[slot].set(self.ba)
@@ -187,28 +196,59 @@ class MonoInertialSlam(MonoSlam):
             # staged scale/gravity refinement while the map is young
             # (reference LocalMapping::ScaleRefinement windows,
             # src/LocalMapping.cc:244-255)
-            if self.n_kf - self._init_kf_count in (1, 2, 3, 4, 6, 8, 12, 16):
+            if self._kf_seq_next - self._init_kf_count in (1, 2, 3, 4, 6,
+                                                           8, 12, 16):
                 self._scale_refinement()
+
+    def _on_cull_keyframe(self, slot: int) -> None:
+        """Stitch the inertial chain across the culled keyframe: the
+        successor inherits the merged preintegration (reference
+        IMU::Preintegrated::MergePrevious on KeyFrameCulling,
+        src/LocalMapping.cc)."""
+        succ = np.flatnonzero(self.kf_prev == slot)
+        if succ.size:
+            n = int(succ[0])
+            merged = pre_mod.merge(
+                jax.tree_util.tree_map(lambda x: x[slot], self.pre_kf),
+                jax.tree_util.tree_map(lambda x: x[n], self.pre_kf),
+            )
+            self.pre_kf = jax.tree_util.tree_map(
+                lambda s, x: s.at[n].set(x), self.pre_kf, merged
+            )
+            self.kf_prev[n] = self.kf_prev[slot]
+        self.kf_prev[slot] = -1
+
+    def _imu_chain_masks(self, free_slots=None):
+        """(edge_valid, prev) device arrays for the active inertial chain;
+        with `free_slots`, only edges whose newer endpoint is free."""
+        K = self.map.K
+        ev = np.zeros(K, bool)
+        for s in self._kf_order:
+            ev[s] = self.kf_prev[s] >= 0
+        if free_slots is not None:
+            in_free = np.zeros(K, bool)
+            in_free[list(free_slots)] = True
+            ev &= in_free
+        return jnp.asarray(ev), jnp.asarray(self.kf_prev)
 
     # ----------------------------------------------------------- imu stages
 
     def _maybe_initialize_imu(self):
         if self.n_kf < self.min_kf_imu_init:
             return
-        ts = np.asarray(self.map.kf_ts)[: self.n_kf]
-        if ts[-1] - ts[0] < self.min_time_imu_init:
+        order = self._kf_order
+        ts = np.asarray(self.map.kf_ts)
+        if ts[order[-1]] - ts[order[0]] < self.min_time_imu_init:
             return
 
         K = self.map.K
         Tbc = self.calib.Tbc
         Twb = jax.vmap(lambda T: pre_mod.Twb_from_Tcw(T, Tbc))(self.map.kf_T)
-        edge_valid = jnp.asarray(
-            (np.arange(K) >= 1) & (np.arange(K) < self.n_kf)
-        )
+        edge_valid, prev = self._imu_chain_masks()
         res = inertial.inertial_init(
             Twb, self.pre_kf, edge_valid,
             prior_gyro=1e2, prior_acc=1e6, iters=60,
-            fix_scale=self._imu_fix_scale,
+            fix_scale=self._imu_fix_scale, prev=prev,
         )
         if not np.isfinite(float(res.cost)) or float(res.scale) < 1e-3:
             return
@@ -241,11 +281,12 @@ class MonoInertialSlam(MonoSlam):
         self.ba = res.ba
         self.kf_bg = jnp.tile(res.bg[None], (K, 1))
         self.kf_ba = jnp.tile(res.ba[None], (K, 1))
-        self.vel = vel2[self.n_kf - 1]
-        self.T_last = kf_T2[self.n_kf - 1]
+        last = self._kf_order[-1]
+        self.vel = vel2[last]
+        self.T_last = kf_T2[last]
         self.velocity = jnp.eye(4)
         self.imu_initialized = True
-        self._init_kf_count = self.n_kf
+        self._init_kf_count = self._kf_seq_next
         self.scale_applied = float(s)
 
         self._vi_local_ba(full=True)
@@ -257,13 +298,11 @@ class MonoInertialSlam(MonoSlam):
         K = self.map.K
         Tbc = self.calib.Tbc
         Twb = jax.vmap(lambda T: pre_mod.Twb_from_Tcw(T, Tbc))(self.map.kf_T)
-        edge_valid = jnp.asarray(
-            (np.arange(K) >= 1) & (np.arange(K) < self.n_kf)
-        )
+        edge_valid, prev = self._imu_chain_masks()
         res = inertial.inertial_init(
             Twb, self.pre_kf, edge_valid,
             prior_gyro=1.0, prior_acc=1e4, iters=40,
-            fix_scale=self._imu_fix_scale,
+            fix_scale=self._imu_fix_scale, prev=prev,
         )
         s = float(res.scale)
         # wide sanity window only: a refit over MORE baseline regularly has
@@ -294,7 +333,7 @@ class MonoInertialSlam(MonoSlam):
         self.ba = res.ba
         self.kf_bg = jnp.tile(res.bg[None], (K, 1))
         self.kf_ba = jnp.tile(res.ba[None], (K, 1))
-        last = self.n_kf - 1
+        last = self._kf_order[-1]
         self.vel = vel2[last]
         self.T_last = kf_T2[last]
         self.scale_applied *= s
@@ -308,9 +347,11 @@ class MonoInertialSlam(MonoSlam):
         from eorb_slam_tpu.optim import schur_ba
 
         m = self.map
-        lo = 1 if full else max(1, self.n_kf - self.local_window)
+        order = self._kf_order
+        lo = 1 if full else max(1, len(order) - self.local_window)
+        free_slots = order[lo:]
         kf_free = np.zeros(m.K, bool)
-        kf_free[lo : self.n_kf] = True
+        kf_free[free_slots] = True
 
         obs_uv = m.kf_xy[m.obs_kf, m.obs_feat]
         obs_oct = m.kf_octave[m.obs_kf, m.obs_feat]
@@ -326,24 +367,23 @@ class MonoInertialSlam(MonoSlam):
             obs_inv_sigma=frontend.inv_sigma(obs_oct),
             obs_valid=m.obs_valid & m.kf_valid[m.obs_kf],
         )
-        K = m.K
-        edge_valid = jnp.asarray(
-            (np.arange(K) >= max(1, lo)) & (np.arange(K) < self.n_kf)
-        )
+        edge_valid, prev = self._imu_chain_masks(free_slots)
         prob = vi_ba.VIBAProblem(
             visual=visual, Tbc=self.calib.Tbc,
             kf_vel=self.kf_vel, kf_bg=self.kf_bg, kf_ba=self.kf_ba,
             pre=self.pre_kf, edge_valid=edge_valid, g=pre_mod.GRAVITY_W,
+            prev=prev,
         )
         res = vi_ba.vi_bundle_adjust(prob, iters=8)
         new_obs_valid = m.obs_valid & (res.obs_inlier | (m.lm_nobs[:, None] <= 2))
         self.map = m._replace(
-            kf_T=res.kf_T, lm_pos=res.lm_pos, obs_valid=new_obs_valid
+            kf_T=res.kf_T, lm_pos=res.lm_pos, obs_valid=new_obs_valid,
+            lm_nobs=jnp.sum(new_obs_valid, axis=1, dtype=jnp.int32),
         )
         self.kf_vel = res.kf_vel
         self.kf_bg = res.kf_bg
         self.kf_ba = res.kf_ba
-        last = self.n_kf - 1
+        last = self._kf_order[-1]
         self.T_last = res.kf_T[last]
         self.vel = res.kf_vel[last]
         self.bg = res.kf_bg[last]

@@ -42,6 +42,7 @@ class MapDrawer:
         lm_valid: Optional[np.ndarray] = None,
         kf_T: Optional[np.ndarray] = None,  # (K,4,4) Tcw
         n_kf: int = 0,
+        kf_slots: Optional[list] = None,    # active slots in temporal order
         trajectory: Optional[list] = None,  # [(ts, Twc)]
         path: Optional[str] = None,
         title: str = "",
@@ -54,9 +55,10 @@ class MapDrawer:
         if len(pts):
             ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=self.point_size,
                        c="k", alpha=0.4, linewidths=0)
-        if kf_T is not None and n_kf > 0:
+        if kf_T is not None and (n_kf > 0 or kf_slots):
+            slots = kf_slots if kf_slots is not None else range(n_kf)
             C = []
-            for k in range(n_kf):
+            for k in slots:
                 T = np.asarray(kf_T[k])
                 R, t = T[:3, :3], T[:3, 3]
                 c = -R.T @ t
@@ -93,6 +95,7 @@ class MapDrawer:
         return self.draw(
             np.asarray(m.lm_pos), np.asarray(m.lm_valid),
             np.asarray(m.kf_T), int(getattr(slam, "n_kf", 0)),
+            kf_slots=list(getattr(slam, "_kf_order", []) or []) or None,
             trajectory=slam.trajectory_twc(), path=path, title=title,
         )
 
