@@ -291,6 +291,8 @@ class EventWindowBuilder:
             self.stats["idle"] += 1
             self.chunks_in_window.clear()
             self.prev_img = None
+            self._klt_fit = None   # stale correspondences must not seed the
+            # measured-flow MCI after an idle gap (their dt no longer matches)
             return None
 
         ev_pad, v_pad, _ = _pad_events(chunk, cfg.max_chunk)
@@ -367,7 +369,10 @@ class EventWindowBuilder:
             T0 = T1 = np.eye(4, dtype=np.float32)
             depth, have_dpose = 1.0, False
 
-        if self._klt_fit is not None:
+        if self._klt_fit is not None and self._klt_fit[3] > 0:
+            # kdt <= 0 happens for the chunk pair straddling overlap
+            # re-injection (timestamps step backward); fit_rt2d_points would
+            # clamp it to 1e-9 and produce ~1e9 px/s garbage params
             kp, kc, kok, kdt = self._klt_fit
             have_klt = True
         else:

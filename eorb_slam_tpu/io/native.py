@@ -31,18 +31,41 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     if not all(os.path.exists(s) for s in srcs):
         return None
     out = os.path.join(ndir, "libfastio.so")
-    newest = max(os.path.getmtime(f) for f in srcs + hdrs if os.path.exists(f))
-    if not os.path.exists(out) or os.path.getmtime(out) < newest:
+
+    def build() -> bool:
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *srcs,
                "-o", out, "-lpthread"]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return True
         except Exception:
-            return None
+            return False
+
+    newest = max(os.path.getmtime(f) for f in srcs + hdrs if os.path.exists(f))
+    if (not os.path.exists(out) or os.path.getmtime(out) < newest) and not build():
+        return None
     try:
         lib = ctypes.CDLL(out)
     except OSError:
         return None
+    try:
+        return _bind(lib)
+    except AttributeError:
+        # stale binary missing newer symbols (mtime fooled by checkout/merge
+        # ordering): force one rebuild, then give up to the Python fallback
+        try:
+            os.remove(out)
+        except OSError:
+            return None
+        if not build():
+            return None
+        try:
+            return _bind(ctypes.CDLL(out))
+        except (OSError, AttributeError):
+            return None
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.fastio_parse.restype = ctypes.POINTER(ctypes.c_double)
     lib.fastio_parse.argtypes = [
         ctypes.c_char_p,

@@ -65,6 +65,9 @@ class EvImageSlam:
             min_init_triangulated=max(15, ev_min_init * 3 // 4),
             min_track_inliers=8,
         )
+        # event twin map: no fuse pass (EvLocalMapping has none; coarse MCI
+        # features make duplicate-merging net-harmful)
+        self.ev.fuse_enabled = False
         self._ev_buf = np.zeros((0, 4), np.float64)
         self._last_im_ts: Optional[float] = None
         self.joint_frames = 0

@@ -124,6 +124,10 @@ class EventInertialSlam:
             min_time_imu_init=min_time_imu_init,
             seed=seed,
         )
+        # no fuse over MCIs (see EventSlam): the reference's event mapper
+        # has no SearchInNeighbors pass and coarse event features make
+        # duplicate-merging net-harmful for the VI estimate
+        self.l2.fuse_enabled = False
         self._T_prev_mci: Optional[np.ndarray] = None
         self.n_mci = 0
         self.n_tracked = 0

@@ -59,6 +59,10 @@ class EventSlam:
             min_track_inliers=min_track_inliers,
             seed=seed,
         )
+        # no SearchInNeighbors/Fuse over MCIs: the reference's event-side
+        # mapper has no fuse pass (EvLocalMapping, SURVEY 2.8), and coarse
+        # event features make duplicate-merging net-harmful
+        self.l2.fuse_enabled = False
         self._T_prev_mci: Optional[np.ndarray] = None
         self.n_mci = 0
         self.n_tracked = 0

@@ -165,7 +165,7 @@ def fuse_duplicates(
     cam_params: jnp.ndarray,
     kf_a: jnp.ndarray,      # () int32 — new keyframe slot
     kf_b: jnp.ndarray,      # () int32 — covisible neighbor slot
-    search_px: float = 4.0,
+    search_px: float = 3.0,
 ):
     """Merge duplicate landmarks between two keyframes.
 
@@ -200,10 +200,19 @@ def fuse_duplicates(
 
     j, dist = matching.match_nnratio(
         m.kf_desc_pm1[kf_a], va, m.kf_desc_pm1[kf_b], vb,
-        pair_mask=pair, max_dist=matching.TH_LOW, nn_ratio=0.9, mutual=True,
+        pair_mask=pair, max_dist=matching.TH_LOW, nn_ratio=0.8, mutual=True,
     )
     lb_j = lb[jnp.clip(j, 0)]
     dup = (j >= 0) & va & (la != lb_j)
+    # 3D consistency: real duplicates of one physical point sit close in
+    # space; without this gate, coarse features (event MCIs) merge distinct
+    # nearby landmarks and the map degrades (reference Fuse checks the
+    # reprojection chi2 of the candidate point in the target view)
+    pos_a = m.lm_pos[la_c]
+    pos_bj = m.lm_pos[jnp.clip(lb_j, 0)]
+    z_a = lie.se3_apply(Ta, pos_a)[:, 2]
+    d3 = jnp.linalg.norm(pos_a - pos_bj, axis=-1)
+    dup = dup & (d3 <= 0.03 * jnp.maximum(z_a, 1e-3))
 
     # winner = more observations (MapPoint::Replace keeps higher nObs)
     na = m.lm_nobs[la_c]

@@ -105,6 +105,14 @@ class MonoSlam:
         self.kf_culled = 0
         self.cull_redundancy = 0.9   # >=90% of obs seen in >=3 other KFs
         self.kf_protect_recent = 3   # never cull the newest KFs
+        self.cull_enabled = True     # periodic redundancy culling
+        # SearchInNeighbors/Fuse pass: on for full-resolution imagery; at
+        # small sensor sizes (event MCIs, tiny frames) descriptors are too
+        # weak to distinguish true duplicates from close neighbors and
+        # merging is net-harmful (measured), so it defaults off there —
+        # mirroring the reference, whose event-side mapper (EvLocalMapping)
+        # has no SearchInNeighbors pass
+        self.fuse_enabled = img_w >= 320
         self.local_window = local_window
         self.min_init_matches = min_init_matches
         # the reference's TwoViewReconstruction requires 50 triangulated
@@ -206,6 +214,8 @@ class MonoSlam:
         slot is ALWAYS freed (sliding-window fallback: the least useful
         non-recent KF goes). Returns the freed slot or None."""
         order = self._kf_order
+        if not force and not self.cull_enabled:
+            return None
         if len(order) <= max(self.kf_protect_recent + 1, 3):
             return None
         frac, total = map_state.keyframe_redundancy(self.map)
@@ -588,7 +598,7 @@ class MonoSlam:
         merges re-triangulated duplicate landmarks between the new keyframe
         and its recent neighbors."""
         order = self._kf_order
-        if len(order) < 3:
+        if not self.fuse_enabled or len(order) < 3:
             return
         neighbors = [s for s in order[-4:-1]]
         for nb in neighbors:

@@ -27,7 +27,10 @@ from eorb_slam_tpu.geometry import lie
 from eorb_slam_tpu.imu import preintegration as pre_mod
 from eorb_slam_tpu.optim import inertial, vi_ba
 from eorb_slam_tpu.slam import local_mapping, map_state, tracking
-from eorb_slam_tpu.slam.system import LOST, NOT_INITIALIZED, OK, FrameInput, MonoSlam
+from eorb_slam_tpu.slam.system import (
+    LOST, NOT_INITIALIZED, OK, RECENTLY_LOST, FrameInput, MonoSlam,
+    _post_track_update,
+)
 
 
 @dataclasses.dataclass

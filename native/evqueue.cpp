@@ -27,7 +27,9 @@
 //       float32 [t-t0, x, y, p] + validity mask (the precision-critical
 //       host step before device upload: float64 ts must be rebased BEFORE
 //       the float32 cast)
-//   evq_stream_file(h, path, max_rows, block_rows) -> 0 ok (spawns thread)
+//   evq_stream_file(h, path, max_rows, block_rows) -> 0 ok (spawns thread;
+//       nonzero when the file cannot be opened/stat'd/mmap'd — the caller
+//       can distinguish a bad path from an empty stream)
 //   evq_stream_active(h) -> 1 while the streamer is parsing
 //   evq_stream_join(h)
 
@@ -67,49 +69,45 @@ struct EvQueue {
   }
 };
 
-void stream_worker(EvQueue* q, std::string path, int64_t max_rows,
-                   int64_t block_rows) {
-  int fd = open(path.c_str(), O_RDONLY);
-  if (fd >= 0) {
-    struct stat st;
-    if (fstat(fd, &st) == 0 && st.st_size > 0) {
-      const char* base = static_cast<const char*>(
-          mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0));
-      if (base != MAP_FAILED) {
-        const char* p = base;
-        const char* end = base + st.st_size;
-        std::vector<double> block;
-        block.reserve(block_rows * kCols);
-        int64_t rows = 0;
-        while (p < end && (max_rows < 0 || rows < max_rows)) {
-          while (p < end && (*p == '\n' || *p == '\r' || *p == ' ' || *p == '\t'))
-            ++p;
-          if (p >= end) break;
-          if (*p == '#') {
-            const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
-            p = nl ? nl + 1 : end;
-            continue;
-          }
-          for (int c = 0; c < kCols; ++c)
-            block.push_back(fastio::parse_double(p, end));
-          ++rows;
-          const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
-          p = nl ? nl + 1 : end;
-          if (static_cast<int64_t>(block.size()) >= block_rows * kCols) {
-            std::lock_guard<std::mutex> lk(q->mu);
-            q->buf.insert(q->buf.end(), block.begin(), block.end());
-            block.clear();
-          }
-        }
-        if (!block.empty()) {
-          std::lock_guard<std::mutex> lk(q->mu);
-          q->buf.insert(q->buf.end(), block.begin(), block.end());
-        }
-        munmap(const_cast<char*>(base), st.st_size);
+void stream_worker(EvQueue* q, const char* base, size_t size, int fd,
+                   int64_t max_rows, int64_t block_rows) {
+  const char* p = base;
+  const char* end = base + size;
+  std::vector<double> block;
+  block.reserve(block_rows * kCols);
+  int64_t rows = 0;
+  while (p < end && (max_rows < 0 || rows < max_rows)) {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+    const char* line_end = nl ? nl : end;
+    // parse strictly within the line: a short/truncated/malformed row must
+    // not consume the next line's leading fields
+    const char* c = p;
+    while (c < line_end && (*c == ' ' || *c == '\t' || *c == '\r')) ++c;
+    if (c < line_end && *c != '#') {
+      double vals[kCols];
+      int got = 0;
+      while (got < kCols && c < line_end) {
+        vals[got++] = fastio::parse_double(c, line_end);
+        while (c < line_end && (*c == ' ' || *c == '\t' || *c == '\r')) ++c;
+      }
+      if (got == kCols) {  // short rows are skipped, not zero-filled
+        block.insert(block.end(), vals, vals + kCols);
+        ++rows;
       }
     }
-    close(fd);
+    p = nl ? nl + 1 : end;
+    if (static_cast<int64_t>(block.size()) >= block_rows * kCols) {
+      std::lock_guard<std::mutex> lk(q->mu);
+      q->buf.insert(q->buf.end(), block.begin(), block.end());
+      block.clear();
+    }
   }
+  if (!block.empty()) {
+    std::lock_guard<std::mutex> lk(q->mu);
+    q->buf.insert(q->buf.end(), block.begin(), block.end());
+  }
+  munmap(const_cast<char*>(base), size);
+  close(fd);
   q->streaming.store(0);
 }
 
@@ -190,7 +188,32 @@ int evq_stream_file(void* h, const char* path, int64_t max_rows,
   if (!q->streaming.compare_exchange_strong(expected, 1)) return -1;
   if (q->streamer.joinable()) q->streamer.join();
   if (block_rows <= 0) block_rows = 1 << 16;
-  q->streamer = std::thread(stream_worker, q, std::string(path), max_rows,
+  // open/stat/map in the caller so a bad path is reported synchronously
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) {
+    q->streaming.store(0);
+    return -2;
+  }
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
+    q->streaming.store(0);
+    return -3;
+  }
+  if (st.st_size == 0) {  // empty stream is a successful no-op
+    close(fd);
+    q->streaming.store(0);
+    return 0;
+  }
+  const char* base = static_cast<const char*>(
+      mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0));
+  if (base == MAP_FAILED) {
+    close(fd);
+    q->streaming.store(0);
+    return -4;
+  }
+  q->streamer = std::thread(stream_worker, q, base,
+                            static_cast<size_t>(st.st_size), fd, max_rows,
                             block_rows);
   return 0;
 }
