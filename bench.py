@@ -13,6 +13,7 @@ reference publishes no numbers and must be re-measured).
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -101,19 +102,189 @@ def time_ba(device, prob, iters_lo=10, iters_hi=40, reps=5):
     return max(t_hi - t_lo, 1e-9) / (iters_hi - iters_lo) * 1000.0, res
 
 
-def main():
+def make_tracking_inputs(W=752, H=480, N=512, M=4096, seed=1):
+    """A rendered frame + a populated tensor map for the per-frame chain.
+
+    Throughput of the jitted chain is shape-bound, not content-bound (every
+    stage is a fixed-shape masked computation), but the scene is still a
+    real splat render with a consistent landmark table."""
+    import jax.numpy as jnp
+
+    from eorb_slam_tpu.event import tensorize
+    from eorb_slam_tpu.geometry import camera
+    from eorb_slam_tpu.slam import map_state
+
+    rng = np.random.default_rng(seed)
+    cam = camera.make_pinhole(458.0, 457.0, W / 2.0, H / 2.0)
+    pts = np.concatenate(
+        [rng.uniform(-4, 4, (M, 2)), rng.uniform(4, 12, (M, 1))], axis=1
+    ).astype(np.float32)
+    uv = np.stack(
+        [458.0 * pts[:, 0] / pts[:, 2] + W / 2.0,
+         457.0 * pts[:, 1] / pts[:, 2] + H / 2.0], axis=1
+    ).astype(np.float32)
+    ok = (uv[:, 0] > 0) & (uv[:, 0] < W) & (uv[:, 1] > 0) & (uv[:, 1] < H)
+    amp = rng.uniform(0.4, 1.0, M).astype(np.float32)
+    img = tensorize.splat_gauss(
+        jnp.asarray(uv), jnp.asarray(ok), jnp.asarray(amp), H, W, sigma=1.2
+    )
+    img8 = np.asarray(tensorize.normalize_to_image(img) * 255.0).astype(np.uint8)
+
+    m = map_state.empty_map(K=32, M=M, N=N, P=8)
+    desc = (rng.integers(0, 2, (M, 256)).astype(np.int8) * 2 - 1)
+    m = m._replace(
+        lm_pos=jnp.asarray(pts),
+        lm_valid=jnp.asarray(ok),
+        lm_desc_pm1=jnp.asarray(desc),
+        kf_valid=m.kf_valid.at[0].set(True),
+    )
+    return cam, jnp.asarray(img8), m
+
+
+def time_tracking(device, reps=20):
+    """Steady-state latency of the FULL per-frame jit chain
+    (extract -> undistort -> project/match/pose-opt) in frames/s.
+
+    One fused jit per frame, as the live pipeline runs it; over a tunneled
+    remote device the blocking flags pull adds one RTT per frame, which is
+    charged to the number (that IS the deployed per-frame cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eorb_slam_tpu.geometry import camera as cam_mod
+    from eorb_slam_tpu.ops import frontend
+    from eorb_slam_tpu.slam import tracking
+
+    cam, img8, m = make_tracking_inputs()
+    cam_d = jax.device_put(cam, device)
+    img_d = jax.device_put(img8, device)
+    m_d = jax.device_put(m, device)
+
+    @functools.partial(jax.jit, device=device)
+    def frame_chain(img, m, T_pred):
+        feats = frontend.extract(img, max_kp=512)
+        xy_ud = cam_mod.undistort_points(cam_d, feats.xy)
+        res = tracking.track_frame(
+            m, cam_d, xy_ud, feats.octave, feats.desc_pm1, feats.valid,
+            T_pred, img_w=752, img_h=480,
+        )
+        return res.Tcw, res.n_inliers
+
+    T0 = jax.device_put(jnp.eye(4), device)
+    Tcw, n = frame_chain(img_d, m_d, T0)
+    jax.block_until_ready(Tcw)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        Tcw, n = frame_chain(img_d, m_d, T0)
+        int(n)  # the per-frame host decision pull (state machine)
+    dt = (time.perf_counter() - t0) / reps
+    return 1.0 / dt
+
+
+def time_event_engine(device, n_events=65536, reps=10):
+    """MCI candidate synthesis + selection throughput: windows/s for the
+    full 4-candidate build at the static 65k-event window capacity."""
+    import jax
+    import jax.numpy as jnp
+
+    from eorb_slam_tpu.event import builder as ev_builder
+    from eorb_slam_tpu.geometry import camera
+
+    rng = np.random.default_rng(3)
+    W, H = 240, 180
+    cam = jax.device_put(camera.make_pinhole(199.0, 199.0, W / 2, H / 2),
+                         device)
+    ev = np.zeros((n_events, 4), np.float32)
+    ev[:, 0] = np.sort(rng.uniform(0, 0.03, n_events))
+    ev[:, 1] = rng.uniform(0, W, n_events)
+    ev[:, 2] = rng.uniform(0, H, n_events)
+    ev[:, 3] = rng.choice([-1.0, 1.0], n_events)
+    ev_d = jax.device_put(jnp.asarray(ev), device)
+    v_d = jax.device_put(jnp.ones(n_events, bool), device)
+    kp = jax.device_put(jnp.zeros((128, 2), jnp.float32), device)
+    kok = jax.device_put(jnp.zeros(128, bool), device)
+    eye = jax.device_put(jnp.eye(4, dtype=jnp.float32), device)
+
+    # fresh jit per target device: the module-level jit caches its TRACE,
+    # and a trace taken on the TPU embeds the pallas splat which cannot
+    # lower for the CPU baseline leg
+    fn = jax.jit(ev_builder._make_candidates,
+                 static_argnames=("H", "W", "sigma", "cm_iters"))
+
+    def run():
+        out = fn(
+            ev_d, v_d, jnp.asarray(0.03, jnp.float32), eye, eye,
+            jnp.asarray(1.0, jnp.float32), jnp.asarray(True),
+            kp, kp, kok, jnp.asarray(0.01, jnp.float32), jnp.asarray(True),
+            cam, H=H, W=W, sigma=1.0, cm_iters=30,
+        )
+        jax.block_until_ready(out[0])
+
+    run()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run()
+    dt = (time.perf_counter() - t0) / reps
+    return 1.0 / dt
+
+
+def cpu_baseline():
+    """XLA-CPU baseline legs, run in a SUBPROCESS: inner-jit traces are
+    cached per process without the target device in the key, so a pallas
+    trace taken for the TPU leg would otherwise leak into the CPU lowering
+    and fail (pallas has no CPU lowering outside interpret mode)."""
     import jax
 
+    cpu = jax.devices("cpu")[0]
+    out = {}
     prob = make_problem()
+    out["ba_ms"], _ = time_ba(cpu, prob, reps=2)
+    out["fps"] = time_tracking(cpu, reps=5)
+    out["wps"] = time_event_engine(cpu, reps=3)
+    print(json.dumps(out))
 
-    tpu_ms, res = time_ba(jax.devices()[0], prob)
 
+def _run_cpu_baseline_subprocess():
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["EORB_NO_PALLAS"] = "1"
     try:
-        cpu_dev = jax.devices("cpu")[0]
-        cpu_ms, _ = time_ba(cpu_dev, prob, reps=2)
-        vs = cpu_ms / tpu_ms
+        r = subprocess.run(
+            [sys.executable, __file__, "--cpu-baseline"],
+            capture_output=True, text=True, timeout=900, env=env,
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
     except Exception:
-        vs = float("nan")
+        return {"ba_ms": float("nan"), "fps": float("nan"),
+                "wps": float("nan")}
+
+
+def main():
+    import sys
+
+    if "--cpu-baseline" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        cpu_baseline()
+        return
+
+    import jax
+
+    dev = jax.devices()[0]
+    prob = make_problem()
+    tpu_ms, res = time_ba(dev, prob)
+    track_fps = time_tracking(dev)
+    ev_wps = time_event_engine(dev)
+
+    base = _run_cpu_baseline_subprocess()
+    vs = base["ba_ms"] / tpu_ms
+    cpu_fps = base["fps"]
+    cpu_wps = base["wps"]
 
     print(
         json.dumps(
@@ -122,6 +293,13 @@ def main():
                 "value": round(tpu_ms, 3),
                 "unit": "ms/iter",
                 "vs_baseline": round(vs, 2),
+                "extra": {
+                    "tracking_fps_752x480_512kp": round(track_fps, 1),
+                    "tracking_fps_vs_xla_cpu": round(track_fps / cpu_fps, 2),
+                    "event_mci_windows_per_s_65k": round(ev_wps, 1),
+                    "event_windows_vs_xla_cpu": round(ev_wps / cpu_wps, 2),
+                    "realtime_margin_24fps": round(track_fps / 24.0, 2),
+                },
             }
         )
     )

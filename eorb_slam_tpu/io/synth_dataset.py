@@ -184,6 +184,7 @@ class Scene:
     cx: float
     cy: float
     sigma: float = 1.1
+    gain: Optional[float] = None   # fixed photometric gain (set on first use)
 
     def camera_params(self) -> np.ndarray:
         return np.asarray([self.fx, self.fy, self.cx, self.cy, 0, 0, 0, 0],
@@ -220,8 +221,13 @@ def make_scene(kind: str, W: int, H: int, fx: float, n_dots: int = 6000,
                  fx=fx, fy=fx, cx=W / 2.0, cy=H / 2.0)
 
 
-def _renderer(scene: Scene):
-    """Jitted Tcw -> [H,W] float image in [0,1]."""
+def _renderer(scene: Scene, pose_fn=None):
+    """Jitted Tcw -> [H,W] float image in [0,1].
+
+    Uses a FIXED photometric gain (calibrated once on the first pose) — a
+    per-frame max-normalization would couple every pixel's brightness to the
+    global splat density, firing spurious DVS events on the whole frame each
+    simulation step."""
     import jax
     import jax.numpy as jnp
     from eorb_slam_tpu.event import tensorize
@@ -232,14 +238,24 @@ def _renderer(scene: Scene):
     H, W = scene.H, scene.W
 
     @jax.jit
-    def render(Tcw):
+    def render_raw(Tcw):
         pc = dots @ Tcw[:3, :3].T + Tcw[:3, 3]
         z = pc[:, 2]
         uv = jnp.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], 1)
         ok = (z > 0.3) & (uv[:, 0] >= -3) & (uv[:, 0] < W + 3) \
             & (uv[:, 1] >= -3) & (uv[:, 1] < H + 3)
-        img = tensorize.splat_gauss(uv, ok, amp, H, W, sigma=scene.sigma)
-        return tensorize.normalize_to_image(img)
+        return tensorize.splat_gauss(uv, ok, amp, H, W, sigma=scene.sigma)
+
+    if scene.gain is None:
+        T0 = np.asarray(pose_fn(0.0), np.float32) if pose_fn is not None \
+            else np.eye(4, dtype=np.float32)
+        ref = np.asarray(render_raw(jnp.asarray(T0)))
+        scene.gain = float(1.0 / max(np.percentile(ref, 99.5), 1e-6))
+
+    gain = scene.gain
+
+    def render(Tcw):
+        return jnp.clip(render_raw(jnp.asarray(Tcw)) * gain, 0.0, 1.0)
 
     return render
 
@@ -368,7 +384,7 @@ def write_euroc(root: str, seq: str, scene: Scene, pose_fn,
     for d in (cam_dir, imu_dir, gt_dir):
         os.makedirs(d, exist_ok=True)
 
-    render = _renderer(scene)
+    render = _renderer(scene, pose_fn)
     n_frames = int(duration * fps)
     with open(os.path.join(base, "cam0", "data.csv"), "w") as f:
         f.write("#timestamp [ns],filename\n")
@@ -414,7 +430,7 @@ def write_ev_ethz(root: str, seq: str, scene: Scene, pose_fn,
     seq_root = os.path.join(root, seq)
     img_dir = os.path.join(seq_root, "images")
     os.makedirs(img_dir, exist_ok=True)
-    render = _renderer(scene)
+    render = _renderer(scene, pose_fn)
 
     if verbose:
         print(f"[{seq}] simulating events at {sim_hz} Hz ...", flush=True)
@@ -511,6 +527,7 @@ def main(argv=None):
     p.add_argument("--size", default=None, help="WxH (default per kind)")
     p.add_argument("--n-dots", type=int, default=6000)
     p.add_argument("--sim-hz", type=float, default=150.0)
+    p.add_argument("--contrast", type=float, default=0.25)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tpu", action="store_true",
                    help="render on the default (TPU) backend instead of CPU")
@@ -539,7 +556,8 @@ def main(argv=None):
                           args.duration, fps=fps)
     else:
         out = write_ev_ethz(args.out, args.seq, scene, pose_fn,
-                            args.duration, fps=fps, sim_hz=args.sim_hz)
+                            args.duration, fps=fps, sim_hz=args.sim_hz,
+                            contrast=args.contrast)
     print(f"wrote {out}")
 
 

@@ -22,6 +22,7 @@ the XLA separable formulation — three more MXU contractions, no scatter.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,11 +39,13 @@ except Exception:  # pragma: no cover
 _EV_TILE = 512  # events per grid step
 
 
-@functools.cache
 def use_pallas() -> bool:
     """Pallas path is enabled on real TPU backends only (the CPU interpreter
-    is far slower than XLA's native matmul lowering)."""
-    if not _HAS_PALLAS:
+    is far slower than XLA's native matmul lowering). EORB_NO_PALLAS=1
+    forces the XLA path — needed when jitting for an explicit CPU device
+    while the DEFAULT backend is a TPU (default_backend() cannot see the
+    target device at trace time and pallas_call fails to lower on CPU)."""
+    if not _HAS_PALLAS or os.environ.get("EORB_NO_PALLAS") == "1":
         return False
     try:
         return jax.default_backend() in ("tpu", "axon")

@@ -136,14 +136,28 @@ def linear_alignment(
         return Ae * w, be * w
 
     A, b = jax.vmap(edge_rows)(jnp.arange(K))                    # (K,6,nv)
-    A = A.reshape(-1, n_var)
-    b = b.reshape(-1)
-    H = A.T @ A
-    # tiny Tikhonov keeps unconstrained w_k (invalid slots) at zero
-    H = H + jnp.eye(n_var, dtype=dtype) * 1e-6
-    # f32 normal equations with mixed column scales (s vs g vs w) need
-    # Jacobi equilibration or the solve returns garbage (see optim/linalg.py)
-    x = linalg.solve_spd_jacobi(H, A.T @ b)
+
+    def solve(Aw, bw):
+        Af = Aw.reshape(-1, n_var)
+        bf = bw.reshape(-1)
+        H = Af.T @ Af
+        # tiny Tikhonov keeps unconstrained w_k (invalid slots) at zero
+        H = H + jnp.eye(n_var, dtype=dtype) * 1e-6
+        # f32 normal equations with mixed column scales (s vs g vs w) need
+        # Jacobi equilibration or the solve returns garbage (optim/linalg.py)
+        return linalg.solve_spd_jacobi(H, Af.T @ bf)
+
+    # IRLS: a single corrupted visual edge (tracking glitch, scale-drifted
+    # segment) otherwise dominates the fit through its |dp|^2 weight — the
+    # reference is insulated from this by per-edge robust kernels in g2o
+    x = solve(A, b)
+    for _ in range(2):
+        r = jnp.einsum("kij,j->ki", A, x) - b                    # (K,6)
+        rn = jnp.linalg.norm(r, axis=1)                          # (K,)
+        med = jnp.median(jnp.where(edge_valid, rn, jnp.nan))
+        delta = 2.0 * jnp.nan_to_num(med, nan=1.0) + 1e-6
+        w = jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(rn, 1e-12)))
+        x = solve(A * w[:, None, None], b * w[:, None])
     s = x[0]
     g = x[1:4]
     vel = x[4:].reshape(K, 3) / jnp.maximum(jnp.abs(s), 1e-6) * jnp.sign(s)
@@ -227,6 +241,16 @@ def inertial_init(
 
         r_edges = jax.vmap(edge)(jnp.arange(K))               # (K,9)
         r_edges = r_edges * edge_valid[:, None]
+        # robust kernel per edge, thresholded RELATIVE to the median edge
+        # chi2: far from convergence every residual is large (an absolute
+        # gate would freeze the solve), but a single inconsistent visual
+        # edge still sits orders of magnitude above its peers and must not
+        # drag scale/gravity
+        chi2 = jnp.sum(r_edges * r_edges, axis=1)
+        med = jnp.median(jnp.where(edge_valid, chi2, jnp.nan))
+        gate = 9.0 * jnp.nan_to_num(med, nan=1e6) + 1e-6
+        w_rob = jnp.sqrt(jnp.minimum(1.0, gate / jnp.maximum(chi2, 1e-12)))
+        r_edges = r_edges * w_rob[:, None]
         r_prior = jnp.concatenate([
             jnp.sqrt(jnp.asarray(prior_gyro, dtype)) * bg,
             jnp.sqrt(jnp.asarray(prior_acc, dtype)) * ba,

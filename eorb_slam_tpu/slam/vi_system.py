@@ -108,6 +108,7 @@ class MonoInertialSlam(MonoSlam):
         self.pre_since_kf = pre_mod.identity_preintegrated()
         self.pre_last_frame = pre_mod.identity_preintegrated()
         self.scale_applied = 1.0
+        self._last_refine_s = 1.0
         # stereo/RGB-D inertial variants fix the (already metric) scale
         # (reference InitializeIMU bFixedScale for non-monocular sensors)
         self._imu_fix_scale = False
@@ -150,25 +151,104 @@ class MonoInertialSlam(MonoSlam):
         return out
 
     def _track(self, f: FrameInput):
-        if self.imu_initialized:
-            # IMU dead-reckoning motion model (PredictStateIMU) — one
-            # fused dispatch (eager 4x4 algebra would round-trip per op)
-            T_pred, vel_mm, v2 = _imu_predict(
-                self.T_last, self.vel, self.pre_last_frame,
-                self.bg, self.ba, self.calib.Tbc,
+        if not self.imu_initialized:
+            return super()._track(f)
+        return self._track_inertial(f)
+
+    def _track_inertial(self, f: FrameInput):
+        """Per-frame tracking once the IMU is initialized: IMU dead-reckoning
+        prediction, projection matching, then MOTION-ONLY VISUAL-INERTIAL
+        optimization of the 15-dof frame state against the last keyframe
+        (reference Optimizer::PoseInertialOptimizationLastKeyFrame,
+        src/Optimizer.cc:8606, dispatched at src/Tracking.cc:1959-1984).
+        The inertial factor keeps the pose metric and scale-consistent even
+        when visual inliers collapse."""
+        self.last_frame = f
+        # PredictStateIMU — one fused dispatch
+        T_pred, vel_mm, v2 = _imu_predict(
+            self.T_last, self.vel, self.pre_last_frame,
+            self.bg, self.ba, self.calib.Tbc,
+        )
+        self._T_pred = T_pred
+        self.velocity = vel_mm
+        self.vel = v2
+
+        res = tracking.track_frame(
+            self.map, self.cam, f.xy_ud, f.octave, f.desc_pm1, f.valid,
+            T_pred, img_w=self.img_w, img_h=self.img_h,
+        )
+        n_vis = int(res.n_inliers)
+        if n_vis < self.min_track_inliers:
+            res = tracking.track_frame(
+                self.map, self.cam, f.xy_ud, f.octave, f.desc_pm1, f.valid,
+                T_pred, img_w=self.img_w, img_h=self.img_h,
+                search_radius=40.0, nn_ratio=0.95,
             )
-            self.velocity = vel_mm
-            self.vel = v2
-        T_prev = self.T_last
-        out = super()._track(f)
-        if self.imu_initialized and out["state"] == OK:
-            # correct the predicted velocity with the visually-optimized
-            # pose (finite difference of body positions over the window)
-            self.vel = _visual_velocity(
-                T_prev, self.T_last, self.pre_last_frame.dt, self.vel,
-                self.calib.Tbc,
-            )
+            n_vis = int(res.n_inliers)
+
+        # motion-only VI refinement against the last keyframe's state,
+        # using the accumulated KF->frame preintegration window
+        from eorb_slam_tpu.ops import frontend
+
+        last = self._kf_order[-1]
+        matched = res.feat_lm >= 0
+        pts_w = self.map.lm_pos[jnp.where(matched, res.feat_lm, 0)]
+        Tcw, vel, bg, ba, inlier, n_vi = vi_ba.pose_inertial_optimization(
+            self.cam, res.Tcw, self.vel, self.bg, self.ba,
+            pts_w, f.xy_ud, frontend.inv_sigma(f.octave), matched,
+            self.map.kf_T[last], self.kf_vel[last], self.pre_since_kf,
+            self.calib.Tbc,
+        )
+        n_inl = int(n_vi)
+        if not bool(jnp.isfinite(Tcw).all()):
+            return self._handle_lost(f, 0)
+        # with an inertial factor the pose stays usable below the visual
+        # threshold (the reference keeps OK with >=10 map matches and falls
+        # back to dead-reckoning below that)
+        if n_inl < max(6, self.min_track_inliers // 2):
+            return self._handle_lost(f, n_inl)
+
+        feat_lm = jnp.where(inlier, res.feat_lm, -1)
+        res = res._replace(Tcw=Tcw, feat_lm=feat_lm, inlier=inlier,
+                           n_inliers=n_vi)
+        self.last_track = res
+        self.lost_frames = 0
+        self.state = OK
+        ref = self._kf_ref()
+        _, T_rel = _post_track_update(Tcw, self.T_last, self.map.kf_T[ref])
+        self.velocity = Tcw @ lie.se3_inv(self.T_last)
+        self.T_last = Tcw
+        self.vel = vel
+        self.bg = bg
+        self.ba = ba
+        self.frames_since_kf += 1
+        self.trajectory.append((f.ts, T_rel, ref))
+
+        need_kf = (
+            n_inl < self.kf_inlier_ratio * max(self.n_inliers_ref, 1)
+            or self.frames_since_kf >= self.max_frames_between_kf
+            or self._need_kf_extra(f)
+        )
+        out = {"state": self.state, "n_inliers": n_inl, "kf": False}
+        if need_kf:
+            self._insert_keyframe(f, res)
+            out.update(kf=True, n_lm=self.stats["lm"])
         return out
+
+    def _handle_lost(self, f: FrameInput, n_inl: int):
+        """Inertial RECENTLY_LOST: dead-reckon on the IMU prediction through
+        the dropout instead of freezing (reference PredictStateIMU branch,
+        src/Tracking.cc:928) — then fall back to the visual recovery path."""
+        if (self.imu_initialized and self.lost_frames < self.lost_grace
+                and getattr(self, "_T_pred", None) is not None):
+            self.stats["lost"] += 1
+            self.lost_frames += 1
+            self.state = RECENTLY_LOST
+            self.T_last = self._T_pred
+            self._log_pose(f.ts, self._T_pred)
+            return {"state": self.state, "n_inliers": n_inl,
+                    "dead_reckoned": True}
+        return super()._handle_lost(f, n_inl)
 
     def _need_kf_extra(self, f) -> bool:
         # host-cached timestamp: pulling map.kf_ts off-device every frame
@@ -198,9 +278,11 @@ class MonoInertialSlam(MonoSlam):
             self._vi_local_ba()
             # staged scale/gravity refinement while the map is young
             # (reference LocalMapping::ScaleRefinement windows,
-            # src/LocalMapping.cc:244-255)
-            if self._kf_seq_next - self._init_kf_count in (1, 2, 3, 4, 6,
-                                                           8, 12, 16):
+            # src/LocalMapping.cc:244-255): every keyframe until the
+            # correction settles at 1 — each refit is multiplicative, so
+            # early stops leave a residual scale error on short sequences
+            since_init = self._kf_seq_next - self._init_kf_count
+            if since_init <= 16 or abs(self._last_refine_s - 1.0) > 0.05:
                 self._scale_refinement()
 
     def _on_cull_keyframe(self, slot: int) -> None:
@@ -314,6 +396,7 @@ class MonoInertialSlam(MonoSlam):
         # significant, src/LocalMapping.cc:244-255)
         if not np.isfinite(s) or not (0.1 < s < 10.0):
             return
+        self._last_refine_s = s
         g_est = np.asarray(res.g)
         g_tgt = np.asarray([0.0, 0.0, -pre_mod.GRAVITY])
         v = np.cross(g_est, g_tgt)
@@ -377,7 +460,10 @@ class MonoInertialSlam(MonoSlam):
             pre=self.pre_kf, edge_valid=edge_valid, g=pre_mod.GRAVITY_W,
             prev=prev,
         )
-        res = vi_ba.vi_bundle_adjust(prob, iters=8)
+        # the reference's FullInertialBA runs 100 iterations at init; the
+        # scale/gravity gauge direction moves slowly, so full solves get a
+        # deeper budget than the per-KF local refinement
+        res = vi_ba.vi_bundle_adjust(prob, iters=24 if full else 8)
         new_obs_valid = m.obs_valid & (res.obs_inlier | (m.lm_nobs[:, None] <= 2))
         self.map = m._replace(
             kf_T=res.kf_T, lm_pos=res.lm_pos, obs_valid=new_obs_valid,

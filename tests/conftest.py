@@ -21,3 +21,22 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+# compile-heavy e2e modules (minutes each on CPU): auto-marked `slow` so the
+# practical dev loop is `pytest -m "not slow"` (~2 min) and CI runs the rest
+_SLOW_MODULES = {
+    "test_event_slam", "test_event_continuous", "test_ev_image_slam",
+    "test_event_inertial", "test_fusion", "test_vi_slam", "test_apps",
+    "test_recovery", "test_stereo_rgbd", "test_loop_closing",
+    "test_kf_lifecycle",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
