@@ -29,7 +29,33 @@ from eorb_slam_tpu.io import datasets, trajectory
 from eorb_slam_tpu.io.config import SensorConfig
 
 
-def build_system(st: cfg_mod.Settings):
+def make_vocab(st: cfg_mod.Settings, seq=None):
+    """Load or train the place-recognition vocabulary (reference loads
+    ORBvoc.txt in System::System, src/System.cc:82-93). Returns a
+    bow.HierVocab or None."""
+    from eorb_slam_tpu.retrieval import bow
+
+    if st.vocab.path:
+        return bow.load_vocab_text_hier(st.vocab.path)
+    if st.vocab.train_words > 0 and seq is not None and seq.n_frames > 0:
+        from eorb_slam_tpu.ops import frontend
+
+        descs = []
+        idxs = np.linspace(0, seq.n_frames - 1,
+                           min(st.vocab.train_frames, seq.n_frames),
+                           dtype=int)
+        for i in idxs:
+            img = (seq.image(int(i)) * 255.0).astype(np.uint8)
+            f = frontend.extract(jnp.asarray(img), max_kp=512)
+            descs.append(np.asarray(f.desc_pm1)[np.asarray(f.valid)])
+        d = jnp.asarray(np.concatenate(descs))
+        k1 = max(8, int(np.sqrt(st.vocab.train_words)))
+        k2 = max(8, st.vocab.train_words // k1)
+        return bow.train_hier_vocab(d, K1=k1, K2=k2, iters=4)
+    return None
+
+
+def build_system(st: cfg_mod.Settings, loop_words=None):
     """System::System equivalent: construct the pipeline for the sensor
     config (reference src/System.cc:61-274 + EvTrackManager tracker
     selection, src/Event/EvTrackManager.cpp:41-66)."""
@@ -39,8 +65,13 @@ def build_system(st: cfg_mod.Settings):
     cam = jnp.asarray(st.cam.params_array())
     n_kp = min(max(st.features.n_features, 128), 1024)
     kw = dict(
-        img_w=st.cam.width or 240, img_h=st.cam.height or 180, N=n_kp
+        img_w=st.cam.width or 240, img_h=st.cam.height or 180, N=n_kp,
+        K=st.slam.max_keyframes, M=st.slam.max_landmarks,
+        local_window=st.slam.local_window,
+        max_frames_between_kf=st.slam.max_frames_between_kf,
     )
+    if loop_words is not None:
+        kw["loop_words"] = loop_words
     calib = pre_mod.make_calib(
         Tbc=jnp.asarray(st.imu.Tbc), gyro_noise=st.imu.noise_gyro,
         acc_noise=st.imu.noise_acc, gyro_walk=st.imu.walk_gyro,
@@ -139,7 +170,13 @@ def run_sequence(
     verbose: bool = True,
 ):
     """One sequence through the pipeline; returns (slam, result dict)."""
-    slam = build_system(st)
+    loop_words = None
+    if st.sensor.is_image() and not st.sensor.is_event():
+        try:
+            loop_words = make_vocab(st, seq)
+        except Exception as e:
+            print(f"vocab setup failed: {e}", file=sys.stderr)
+    slam = build_system(st, loop_words=loop_words)
     s = st.sensor
     main_timer = trajectory.SmartTimer("tracking")
     t_wall0 = time.perf_counter()

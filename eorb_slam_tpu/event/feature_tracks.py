@@ -32,6 +32,7 @@ class TrackStore(NamedTuple):
     age: jnp.ndarray       # (T,) int32 images survived
     birth_kf: jnp.ndarray  # (T,) int32 keyframe slot at (re)birth, -1 = none
     desc_pm1: jnp.ndarray  # (T,256) int8 descriptor at birth
+    quality: jnp.ndarray   # (T,) float32 KLT NCC of the last advance
 
     @property
     def T(self):
@@ -46,6 +47,7 @@ def empty_tracks(T: int) -> TrackStore:
         age=jnp.zeros(T, jnp.int32),
         birth_kf=jnp.full(T, -1, jnp.int32),
         desc_pm1=jnp.zeros((T, 256), jnp.int8),
+        quality=jnp.ones(T, jnp.float32),
     )
 
 
@@ -72,6 +74,7 @@ def advance(
         xy=jnp.where(res.ok[:, None], res.xy, tr.xy),
         valid=tr.valid & res.ok,
         age=tr.age + res.ok.astype(jnp.int32),
+        quality=jnp.where(res.ok, jnp.clip(res.ncc, 0.0, 1.0), tr.quality),
     )
     return tr, med
 
@@ -121,6 +124,9 @@ def top_up(
         age=tr.age.at[slot].set(jnp.where(take, 0, tr.age[slot])),
         birth_kf=tr.birth_kf.at[slot].set(
             jnp.where(take, -1, tr.birth_kf[slot])
+        ),
+        quality=tr.quality.at[slot].set(
+            jnp.where(take, 1.0, tr.quality[slot])
         ),
     )
     return tr, jnp.sum(take.astype(jnp.int32))

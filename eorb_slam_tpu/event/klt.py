@@ -55,6 +55,7 @@ class KLTResult(NamedTuple):
     xy: jnp.ndarray       # (N,2) tracked positions in the current image
     ok: jnp.ndarray       # (N,) bool — converged, in-bounds, low residual
     err: jnp.ndarray      # (N,) mean abs photometric residual
+    ncc: jnp.ndarray      # (N,) template/patch normalized cross-correlation
 
 
 @functools.partial(
@@ -154,7 +155,7 @@ def track(
         & (xy[:, 1] >= half) & (xy[:, 1] < H - half)
     )
     ok = valid & inb & (ncc >= min_ncc)
-    return KLTResult(xy=xy, ok=ok, err=err)
+    return KLTResult(xy=xy, ok=ok, err=err, ncc=ncc)
 
 
 def median_displacement(res: KLTResult, xy0: jnp.ndarray) -> jnp.ndarray:

@@ -205,6 +205,29 @@ class DatasetConfig:
 
 
 @dataclasses.dataclass
+class SlamConfig:
+    """Map capacities + keyframe policy (the reference has no caps — its
+    maps grow unbounded; here capacity is a sliding window with culling,
+    sized per deployment)."""
+
+    max_keyframes: int = 32
+    max_landmarks: int = 4096
+    local_window: int = 5
+    max_frames_between_kf: int = 10
+
+
+@dataclasses.dataclass
+class VocabConfig:
+    """Place-recognition vocabulary (reference: ORBvoc.txt path passed to
+    System; here either a DBoW2 text file imported hierarchically or an
+    on-the-fly trained vocabulary for synthetic runs)."""
+
+    path: str = ""                 # ORBvoc-style text file ("" = none)
+    train_words: int = 0           # >0: train K1*K2~train_words on startup
+    train_frames: int = 5          # frames sampled for on-the-fly training
+
+
+@dataclasses.dataclass
 class Settings:
     """Everything one run needs — the analog of the reference's single YAML."""
 
@@ -216,6 +239,8 @@ class Settings:
     event: EventConfig = dataclasses.field(default_factory=EventConfig)
     viewer: ViewerConfig = dataclasses.field(default_factory=ViewerConfig)
     dataset: DatasetConfig = dataclasses.field(default_factory=DatasetConfig)
+    slam: SlamConfig = dataclasses.field(default_factory=SlamConfig)
+    vocab: VocabConfig = dataclasses.field(default_factory=VocabConfig)
     missing: tuple = ()            # keys that fell back to defaults (missParams analog)
 
 
@@ -345,6 +370,19 @@ def load_settings(path: str) -> Settings:
         max_iter=int(_get(nested, "DS.nMaxIter", 1, miss)),
     )
 
+    slam = SlamConfig(
+        max_keyframes=int(_get(nested, "SLAM.maxKeyFrames", 32, miss)),
+        max_landmarks=int(_get(nested, "SLAM.maxLandmarks", 4096, miss)),
+        local_window=int(_get(nested, "SLAM.localWindow", 5, miss)),
+        max_frames_between_kf=int(_get(nested, "SLAM.maxFramesBetweenKF",
+                                       10, miss)),
+    )
+    vocab = VocabConfig(
+        path=str(_get(nested, "Vocabulary.path", "", miss)),
+        train_words=int(_get(nested, "Vocabulary.trainWords", 0, miss)),
+        train_frames=int(_get(nested, "Vocabulary.trainFrames", 5, miss)),
+    )
+
     return Settings(
         sensor=sensor,
         cam=cam,
@@ -354,5 +392,7 @@ def load_settings(path: str) -> Settings:
         event=ev,
         viewer=viewer,
         dataset=ds,
+        slam=slam,
+        vocab=vocab,
         missing=tuple(miss),
     )

@@ -111,17 +111,18 @@ def make_trajectory(kind: str, duration: float):
         return np.stack([x, y, z], axis=1)
 
     if kind == "corridor":
-        # forward flight through a corridor with lateral/vertical sway
+        # forward flight ALONG the optical axis (+z) through the textured
+        # tube, with lateral/vertical sway and gentle attitude wobble
         def pose(t):
             C = np.asarray([
+                0.8 * np.sin(0.9 * t),
+                0.5 * np.sin(0.7 * t + 1.0),
                 1.0 * t + 0.25 * np.sin(1.3 * t),
-                0.4 * np.sin(0.9 * t),
-                0.25 * np.sin(0.7 * t),
             ])
             yaw = 0.10 * np.sin(0.5 * t)
             pitch = 0.05 * np.sin(0.4 * t + 1.0)
             R_cw = so3_exp_np(np.asarray(
-                [pitch, yaw, 0.02 * np.sin(0.8 * t)]))
+                [pitch, yaw, 0.03 * np.sin(0.8 * t)]))
             T = np.eye(4, dtype=np.float64)
             T[:3, :3] = R_cw
             T[:3, 3] = -R_cw @ C
@@ -192,7 +193,12 @@ class Scene:
 
 
 def make_scene(kind: str, W: int, H: int, fx: float, n_dots: int = 6000,
-               seed: int = 0) -> Scene:
+               seed: int = 0, constellation: int = 4) -> Scene:
+    """`constellation` > 1 replaces each texture dot with a small cluster of
+    sub-dots at random offsets/amplitudes: isolated Gaussian blobs are all
+    IDENTICAL to a binary descriptor (radially symmetric), so matching
+    degenerates into ambiguity — clusters give every feature patch a unique
+    local gradient pattern, like real-world texture."""
     rng = np.random.default_rng(seed)
     if kind == "corridor":
         dots = np.concatenate([
@@ -216,7 +222,19 @@ def make_scene(kind: str, W: int, H: int, fx: float, n_dots: int = 6000,
         ], axis=1)
     else:
         raise ValueError(f"unknown scene kind {kind!r}")
-    amp = rng.uniform(0.35, 1.0, n_dots).astype(np.float32)
+    if constellation > 1:
+        # cluster radius scales with depth so the projected footprint stays
+        # roughly constant (~a BRIEF patch) across the scene
+        reps = constellation
+        base = np.repeat(dots, reps, axis=0)
+        z = base[:, 2:3] if kind != "room" else np.full((len(base), 1), 2.5)
+        spread = 0.012 * np.abs(z) + 0.01
+        off = rng.normal(0, 1.0, (len(base), 3)) * spread
+        off[:, 2] *= 0.2  # keep clusters near-planar (depth-coherent)
+        dots = base + off
+        amp = rng.uniform(0.2, 1.0, len(dots)).astype(np.float32)
+    else:
+        amp = rng.uniform(0.35, 1.0, n_dots).astype(np.float32)
     return Scene(dots=dots.astype(np.float32), amp=amp, W=W, H=H,
                  fx=fx, fy=fx, cx=W / 2.0, cy=H / 2.0)
 
@@ -347,6 +365,97 @@ def simulate_events(render, pose_fn, t0: float, t1: float,
     return ev[np.argsort(ev[:, 0], kind="stable")]
 
 
+# ------------------------------------------------------- textured box world
+
+
+def _value_noise_texture(n: int = 1024, seed: int = 0,
+                         octaves: int = 5) -> np.ndarray:
+    """Multi-octave value-noise texture in [0,1]: dense gradients at every
+    scale, which is what ORB features need (sparse splat dots are
+    near-identical to a binary descriptor and matching collapses with
+    baseline — measured 512->50 surviving matches over 10 frames)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    tex = np.zeros((n, n), np.float32)
+    for o in range(octaves):
+        k = 8 << o
+        g = rng.standard_normal((k, k)).astype(np.float32)
+        up = jax.image.resize(jnp.asarray(g), (n, n), "bilinear")
+        tex += np.asarray(up) / (1.6 ** o)
+    tex -= tex.min()
+    tex /= max(tex.max(), 1e-6)
+    return tex
+
+
+def make_box_renderer(kind: str, W: int, H: int, fx: float, seed: int = 0):
+    """Jitted Tcw -> [H,W] image of a texture-mapped box world (ray/plane
+    intersection per pixel + bilinear texture sampling). Rich, photometric-
+    ally stable imagery for the image-frontend datasets."""
+    import jax
+    import jax.numpy as jnp
+
+    fy, cx, cy = fx, W / 2.0, H / 2.0
+    tex = jnp.asarray(_value_noise_texture(1024, seed))
+    TN = 1024
+    px_per_m = 160.0
+
+    if kind == "corridor":
+        # tube along +z: side walls x=+-3, floor/ceiling y=+-2, far cap z=70
+        planes = [(0, -3.0), (0, 3.0), (1, -2.0), (1, 2.0), (2, 70.0)]
+    elif kind == "room":
+        planes = [(0, -4.0), (0, 4.0), (1, -3.0), (1, 3.0),
+                  (2, -4.0), (2, 4.0)]
+    else:
+        raise ValueError(kind)
+
+    us, vs = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32) + 0.5,
+                          jnp.arange(H, dtype=jnp.float32) + 0.5)
+    d_cam = jnp.stack([(us - cx) / fx, (vs - cy) / fy,
+                       jnp.ones_like(us)], -1)            # (H,W,3)
+
+    def sample(u, v):
+        ui = jnp.mod(u * px_per_m, TN - 1.0)
+        vi = jnp.mod(v * px_per_m, TN - 1.0)
+        x0 = jnp.floor(ui).astype(jnp.int32)
+        y0 = jnp.floor(vi).astype(jnp.int32)
+        ax = ui - x0
+        ay = vi - y0
+        x1 = (x0 + 1) % TN
+        y1 = (y0 + 1) % TN
+        return ((1 - ax) * (1 - ay) * tex[y0, x0]
+                + ax * (1 - ay) * tex[y0, x1]
+                + (1 - ax) * ay * tex[y1, x0]
+                + ax * ay * tex[y1, x1])
+
+    @jax.jit
+    def render(Tcw):
+        R = Tcw[:3, :3]
+        t = Tcw[:3, 3]
+        C = -R.T @ t
+        dirs = jnp.einsum("ij,hwj->hwi", R.T, d_cam)      # world rays
+        best_t = jnp.full((H, W), jnp.inf)
+        val = jnp.zeros((H, W))
+        for pi, (ax, off) in enumerate(planes):
+            denom = dirs[..., ax]
+            th = (off - C[ax]) / jnp.where(jnp.abs(denom) < 1e-9,
+                                           jnp.inf, denom)
+            ok = th > 0.1
+            th = jnp.where(ok, th, jnp.inf)
+            p = C[None, None, :] + th[..., None] * dirs
+            o1, o2 = [a for a in range(3) if a != ax]
+            # per-plane texture offset so opposite walls differ
+            v_pix = sample(p[..., o1] + 37.31 * (pi + 1),
+                           p[..., o2] + 11.71 * (pi + 1))
+            hit = th < best_t
+            val = jnp.where(hit, v_pix, val)
+            best_t = jnp.minimum(best_t, th)
+        return jnp.clip(val, 0.0, 1.0)
+
+    return render
+
+
 # -------------------------------------------------------------------- writers
 
 
@@ -375,7 +484,8 @@ def _gt_rows(pose_fn, ts: np.ndarray):
 def write_euroc(root: str, seq: str, scene: Scene, pose_fn,
                 duration: float, fps: float = 20.0, imu_hz: float = 200.0,
                 gt_hz: float = 100.0, noise_gyro: float = 2e-4,
-                noise_acc: float = 2e-3, verbose: bool = True) -> str:
+                noise_acc: float = 2e-3, verbose: bool = True,
+                renderer=None) -> str:
     """Render + write a EuRoC-layout sequence (ns integer timestamps)."""
     base = os.path.join(root, seq, "mav0")
     cam_dir = os.path.join(base, "cam0", "data")
@@ -384,7 +494,7 @@ def write_euroc(root: str, seq: str, scene: Scene, pose_fn,
     for d in (cam_dir, imu_dir, gt_dir):
         os.makedirs(d, exist_ok=True)
 
-    render = _renderer(scene, pose_fn)
+    render = renderer if renderer is not None else _renderer(scene, pose_fn)
     n_frames = int(duration * fps)
     with open(os.path.join(base, "cam0", "data.csv"), "w") as f:
         f.write("#timestamp [ns],filename\n")
@@ -552,8 +662,10 @@ def main(argv=None):
     scene = make_scene(traj, W, H, fx, n_dots=args.n_dots, seed=args.seed)
     pose_fn = make_trajectory(traj, args.duration)
     if args.kind == "euroc":
+        # image-frontend datasets use the dense textured-box renderer
+        renderer = make_box_renderer(traj, W, H, fx, seed=args.seed)
         out = write_euroc(args.out, args.seq, scene, pose_fn,
-                          args.duration, fps=fps)
+                          args.duration, fps=fps, renderer=renderer)
     else:
         out = write_ev_ethz(args.out, args.seq, scene, pose_fn,
                             args.duration, fps=fps, sim_hz=args.sim_hz,

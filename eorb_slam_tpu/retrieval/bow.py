@@ -128,6 +128,190 @@ def erase_keyframe(db: KeyFrameDatabase, slot) -> KeyFrameDatabase:
     )
 
 
+# --------------------------------------------------------------- hierarchical
+#
+# Real-vocabulary scale (ORBvoc has ~1M leaf words): a flat (V,256) codebook
+# needs a 10^9-FLOP quantize matmul per frame and the dense (Kmax,V) tf
+# matrix hundreds of MB. The TPU-native equivalent of DBoW2's 6-level tree
+# is a 2-level product: one coarse matmul picks a cell, one small batched
+# matmul picks the word inside the cell — both MXU-shaped — and keyframes
+# store SPARSE (word_id, weight) lists sized by the feature budget.
+
+
+class HierVocab(NamedTuple):
+    """Two-level vocabulary: V = K1 * K2 words."""
+
+    words1: jnp.ndarray    # (K1,256) int8 coarse centroids
+    words2: jnp.ndarray    # (K1,K2,256) int8 fine words per cell
+    weights: jnp.ndarray   # (K1*K2,) float32 per-word idf (ORBvoc weights)
+
+    @property
+    def K1(self):
+        return self.words1.shape[0]
+
+    @property
+    def K2(self):
+        return self.words2.shape[1]
+
+    @property
+    def V(self):
+        return self.K1 * self.words2.shape[1]
+
+
+def train_hier_vocab(desc_pm1: jnp.ndarray, K1: int = 64, K2: int = 64,
+                     iters: int = 6, seed: int = 0) -> HierVocab:
+    """Train a 2-level vocabulary by nested binary k-means (the offline
+    DBoW2 build; the reference ships a pretrained tree instead)."""
+    desc = jnp.asarray(desc_pm1)
+    words1 = train_vocab(desc, K1, iters=iters, seed=seed)
+    sim = desc.astype(jnp.float32) @ words1.astype(jnp.float32).T
+    cell = np.asarray(jnp.argmax(sim, axis=1))
+    rng = np.random.default_rng(seed + 1)
+    d_np = np.asarray(desc)
+    w2 = np.zeros((K1, K2, 256), np.int8)
+    for c in range(K1):
+        members = d_np[cell == c]
+        if len(members) == 0:
+            members = d_np[rng.integers(0, len(d_np), 8)]
+        sub = train_vocab(jnp.asarray(members), K2,
+                          iters=max(iters // 2, 2), seed=seed + 2 + c)
+        w2[c] = np.asarray(sub)
+    V = K1 * K2
+    return HierVocab(words1=words1, words2=jnp.asarray(w2),
+                     weights=jnp.ones(V, jnp.float32))
+
+
+def load_vocab_text_hier(path: str, K1: int = 256,
+                         max_words: int | None = None) -> HierVocab:
+    """Import DBoW2 leaf words + their trained idf weights from ORBvoc.txt
+    and re-shape into the 2-level product form: coarse k-means over the
+    leaves, then each cell keeps its member leaves (padded/truncated to the
+    max cell size). Word weights follow the file (TemplatedVocabulary's
+    stored idf)."""
+    leaves, wts = [], []
+    with open(path) as f:
+        f.readline()
+        for line in f:
+            parts = line.split()
+            if len(parts) < 34 or parts[1] != "1":
+                continue
+            by = np.array([int(b) for b in parts[2:34]], np.uint8)
+            leaves.append(np.unpackbits(by).astype(np.int8) * 2 - 1)
+            wts.append(float(parts[34]) if len(parts) > 34 else 1.0)
+            if max_words and len(leaves) >= max_words:
+                break
+    desc = jnp.asarray(np.stack(leaves))
+    wts = np.asarray(wts, np.float32)
+    K1 = min(K1, len(leaves))
+    words1 = train_vocab(desc, K1, iters=6)
+    sim = desc.astype(jnp.float32) @ words1.astype(jnp.float32).T
+    cell = np.asarray(jnp.argmax(sim, axis=1))
+    K2 = int(np.bincount(cell, minlength=K1).max())
+    w2 = np.zeros((K1, K2, 256), np.int8)
+    wt2 = np.zeros((K1, K2), np.float32)
+    leaves_np = np.stack(leaves)
+    for c in range(K1):
+        mem = np.flatnonzero(cell == c)
+        w2[c, : len(mem)] = leaves_np[mem]
+        wt2[c, : len(mem)] = wts[mem]
+    return HierVocab(words1=words1, words2=jnp.asarray(w2),
+                     weights=jnp.asarray(wt2.reshape(-1)))
+
+
+@jax.jit
+def quantize_hier(desc_pm1: jnp.ndarray, feat_valid: jnp.ndarray,
+                  voc: HierVocab):
+    """(N,256) descriptors -> (word_ids (N,) int32 [-1 invalid],
+    weights (N,) float32). Two MXU matmuls, no pointer chasing."""
+    df = desc_pm1.astype(jnp.float32)
+    cell = jnp.argmax(df @ voc.words1.astype(jnp.float32).T, axis=1)
+    sub = voc.words2[cell].astype(jnp.float32)          # (N,K2,256)
+    fine = jnp.argmax(jnp.einsum("nc,nkc->nk", df, sub), axis=1)
+    wid = (cell * voc.words2.shape[1] + fine).astype(jnp.int32)
+    wid = jnp.where(feat_valid, wid, -1)
+    return wid, voc.weights[jnp.clip(wid, 0)] * feat_valid
+
+
+class SparseKeyFrameDatabase(NamedTuple):
+    """Per-KF sparse tf-idf word lists (Kmax, Nw): the inverted index at
+    real-vocabulary scale. Rows are sorted by word id with -1 padding."""
+
+    ids: jnp.ndarray      # (Kmax, Nw) int32 word ids, -1 = pad
+    w: jnp.ndarray        # (Kmax, Nw) float32 L1-normalized tf-idf
+    valid: jnp.ndarray    # (Kmax,) bool
+
+
+def empty_sparse_database(Kmax: int, Nw: int) -> SparseKeyFrameDatabase:
+    return SparseKeyFrameDatabase(
+        ids=jnp.full((Kmax, Nw), -1, jnp.int32),
+        w=jnp.zeros((Kmax, Nw), jnp.float32),
+        valid=jnp.zeros(Kmax, bool),
+    )
+
+
+@jax.jit
+def sparse_bow_row(word_ids: jnp.ndarray, weights: jnp.ndarray):
+    """Aggregate per-feature words into a sorted unique (ids, tf-idf) row:
+    sort by id, segment-sum equal ids into the FIRST slot of each run,
+    L1-normalize. Fixed shape (N,) with -1/0 padding."""
+    order = jnp.argsort(word_ids)
+    ids = word_ids[order]
+    ws = weights[order]
+    first = jnp.concatenate([jnp.asarray([True]), ids[1:] != ids[:-1]])
+    seg = jnp.cumsum(first) - 1                       # run index per entry
+    agg = jnp.zeros_like(ws).at[seg].add(ws)          # weight per run
+    run_id = jnp.full_like(ids, -(1 << 30)).at[seg].max(ids)
+    n_runs = seg[-1] + 1
+    slot = jnp.arange(ids.shape[0])
+    run_valid = (slot < n_runs) & (run_id >= 0) & (agg > 0)
+    out_ids = jnp.where(run_valid, run_id, -1)
+    out_w = jnp.where(run_valid, agg, 0.0)
+    norm = jnp.maximum(out_w.sum(), 1e-9)
+    return out_ids, out_w / norm
+
+
+def sparse_add_keyframe(db: SparseKeyFrameDatabase, slot,
+                        word_ids: jnp.ndarray, weights: jnp.ndarray):
+    ids, w = sparse_bow_row(word_ids, weights)
+    return SparseKeyFrameDatabase(
+        ids=db.ids.at[slot].set(ids),
+        w=db.w.at[slot].set(w),
+        valid=db.valid.at[slot].set(True),
+    )
+
+
+def sparse_erase_keyframe(db: SparseKeyFrameDatabase, slot):
+    return SparseKeyFrameDatabase(
+        ids=db.ids.at[slot].set(-1),
+        w=db.w.at[slot].set(0.0),
+        valid=db.valid.at[slot].set(False),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def sparse_detect_candidates(
+    db: SparseKeyFrameDatabase,
+    q_ids: jnp.ndarray,     # (Nw,) sorted unique ids (-1 pad)
+    q_w: jnp.ndarray,       # (Nw,)
+    exclude_mask: jnp.ndarray,
+    top_k: int = 3,
+    min_common_frac: float = 0.8,
+):
+    """DetectNBestCandidates over the sparse index: per-KF sparse-sparse
+    intersection as one (Kmax, Nq, Nw) equality einsum — common-word gate +
+    L1 score (sum of min weights on shared words)."""
+    eq = (q_ids[None, :, None] == db.ids[:, None, :]) & (q_ids >= 0)[None, :, None]
+    common = eq.any(axis=2).sum(axis=1)
+    mins = jnp.minimum(q_w[None, :, None], db.w[:, None, :])
+    scores_l1 = jnp.where(eq, mins, 0.0).sum(axis=(1, 2))
+    ok = db.valid & ~exclude_mask
+    max_common = jnp.max(jnp.where(ok, common, 0))
+    gate = ok & (common >= min_common_frac * max_common) & (common > 0)
+    scores = jnp.where(gate, scores_l1, -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(scores, top_k)
+    return top_scores, top_idx
+
+
 @functools.partial(jax.jit, static_argnames=("top_k",))
 def detect_candidates(
     db: KeyFrameDatabase,

@@ -21,16 +21,97 @@ section for both).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from eorb_slam_tpu.event import builder as ev_builder
 from eorb_slam_tpu.geometry import lie
 from eorb_slam_tpu.ops import frontend
-from eorb_slam_tpu.optim import pose_only
+from eorb_slam_tpu.optim import pose_only, schur_ba
 from eorb_slam_tpu.slam import system as slam_system
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _joint_local_ba_step(
+    im_map, ev_map, cam_params,
+    R_ie, t_ie, s_ie,            # Sim3: event-map coords -> image-map coords
+    kf_free_im, kf_free_ev,      # (K_im,), (K_ev,) bool BA windows
+    ev_sigma_scale: float = 0.5,
+    iters: int = 8,
+):
+    """JOINT local bundle adjustment over the union of the image map and the
+    Sim3-bridged event map — the reference's EvOptimizer::LocalBundleAdjust-
+    ment / setEventMapVxAndEdges (src/Event/EvOptimizer.cpp:990,3714-4032),
+    which pulls the paired event frames' map points into every BA.
+
+    Event keyframes/landmarks are mapped into the image gauge
+    (p_im = s R p_ev + t; camera poses transform as R' = R_ev R^T,
+    t' = s t_ev - R' t, which preserves projections under the uniform
+    camera-frame scaling), both observation tables concatenate into one
+    BAProblem (keyframe axis offset for the event rows), and the solution
+    is split back — the event side through the inverse Sim3.
+
+    Returns (im_map', ev_map', stats[cost0, cost])."""
+    K_im = im_map.kf_T.shape[0]
+    Rm = R_ie.astype(jnp.float32)
+    tm = t_ie.astype(jnp.float32)
+    sm = s_ie.astype(jnp.float32)
+
+    def ev_pose_to_im(T):
+        Rp = T[:3, :3] @ Rm.T
+        tp = sm * T[:3, 3] - Rp @ tm
+        return jnp.eye(4, dtype=T.dtype).at[:3, :3].set(Rp).at[:3, 3].set(tp)
+
+    def im_pose_to_ev(T):
+        Re = T[:3, :3] @ Rm
+        te = (T[:3, 3] + T[:3, :3] @ tm) / sm
+        return jnp.eye(4, dtype=T.dtype).at[:3, :3].set(Re).at[:3, 3].set(te)
+
+    ev_T_im = jax.vmap(ev_pose_to_im)(ev_map.kf_T)
+    ev_lm_im = sm * (ev_map.lm_pos @ Rm.T) + tm
+
+    kf_T = jnp.concatenate([im_map.kf_T, ev_T_im])
+    kf_valid = jnp.concatenate([im_map.kf_valid, ev_map.kf_valid])
+    kf_fixed = ~jnp.concatenate([kf_free_im, kf_free_ev])
+    lm_pos = jnp.concatenate([im_map.lm_pos, ev_lm_im])
+    lm_valid = jnp.concatenate([im_map.lm_valid, ev_map.lm_valid])
+
+    obs_uv_im = im_map.kf_xy[im_map.obs_kf, im_map.obs_feat]
+    obs_uv_ev = ev_map.kf_xy[ev_map.obs_kf, ev_map.obs_feat]
+    sig_im = frontend.inv_sigma(im_map.kf_octave[im_map.obs_kf,
+                                                 im_map.obs_feat])
+    sig_ev = frontend.inv_sigma(ev_map.kf_octave[ev_map.obs_kf,
+                                                 ev_map.obs_feat])
+
+    prob = schur_ba.BAProblem(
+        cam_params=cam_params,
+        kf_T=kf_T,
+        kf_fixed=kf_fixed,
+        kf_valid=kf_valid,
+        lm_pos=lm_pos,
+        lm_valid=lm_valid,
+        obs_kf=jnp.concatenate([im_map.obs_kf, ev_map.obs_kf + K_im]),
+        obs_uv=jnp.concatenate([obs_uv_im, obs_uv_ev]),
+        obs_inv_sigma=jnp.concatenate([sig_im, ev_sigma_scale * sig_ev]),
+        obs_valid=jnp.concatenate([
+            im_map.obs_valid & im_map.kf_valid[im_map.obs_kf],
+            ev_map.obs_valid & ev_map.kf_valid[ev_map.obs_kf],
+        ]),
+    )
+    res = schur_ba.bundle_adjust(prob, iters=iters)
+
+    M_im = im_map.lm_pos.shape[0]
+    im_map = im_map._replace(
+        kf_T=res.kf_T[:K_im], lm_pos=res.lm_pos[:M_im],
+    )
+    ev_T_new = jax.vmap(im_pose_to_ev)(res.kf_T[K_im:])
+    ev_lm_new = ((res.lm_pos[M_im:] - tm) @ Rm) / sm
+    ev_map = ev_map._replace(kf_T=ev_T_new, lm_pos=ev_lm_new)
+    return im_map, ev_map, jnp.stack([res.cost0, res.cost])
 
 
 class EvImageSlam:
@@ -77,6 +158,12 @@ class EvImageSlam:
         # src/LoopClosing.cc:2075-2094)
         self._gauge_pairs: list[tuple[float, np.ndarray, np.ndarray]] = []
         self._gauge_window = 12
+        # joint event+image LOCAL BA (reference EvOptimizer::LocalBundle-
+        # Adjustment dispatch, src/LocalMapping.cc:163-188): runs after an
+        # image keyframe insertion once the Sim3 gauge bridge is healthy
+        self.joint_ba_enabled = True
+        self.joint_bas = 0
+        self._last_gauge = None
 
     # ---------------------------------------------------------------- input
 
@@ -111,8 +198,34 @@ class EvImageSlam:
             )
 
         joint = self._joint_refine(ts)
+        # joint event+image local BA on image-KF insertions (the reference
+        # pulls event map points into every LocalMapping BA; here it is one
+        # fused dispatch over the union problem)
+        if (
+            self.joint_ba_enabled
+            and self._last_gauge is not None
+            and joint is not None and not joint.get("rejected")
+            and isinstance(im_res, dict) and im_res.get("kf")
+            and self.ev.n_kf >= 2
+        ):
+            self._run_joint_ba()
         self._last_im_ts = ts
         return {"image": im_res, "event": ev_res, "joint": joint}
+
+    def _run_joint_ba(self):
+        s, R_ie, t_ie = self._last_gauge
+        im_free = self.im._ba_window()
+        ev_free = self.ev._ba_window()
+        self.im.map, self.ev.map, stats = _joint_local_ba_step(
+            self.im.map, self.ev.map, self.cam,
+            jnp.asarray(R_ie, jnp.float32), jnp.asarray(t_ie, jnp.float32),
+            jnp.asarray(s, jnp.float32),
+            jnp.asarray(im_free), jnp.asarray(ev_free),
+        )
+        # current-frame poses follow their just-refined keyframes
+        if self.im.last_kf_slot >= 0:
+            self.im.T_last = self.im.map.kf_T[self.im.last_kf_slot]
+        self.joint_bas += 1
 
     def _track_image(self, img: np.ndarray, ts: float, imu=None):
         """Image-tracker hook; the inertial variant overrides this to route
@@ -205,8 +318,10 @@ class EvImageSlam:
         )
         gauge = self._estimate_gauge()
         if gauge is None:
+            self._last_gauge = None
             return None
         s, R_ie, t_ie, resid = gauge
+        self._last_gauge = (s, R_ie, t_ie)
 
         mi = tr_i.feat_lm >= 0
         me = tr_e.feat_lm >= 0
@@ -279,4 +394,5 @@ class EvImageSlam:
             "im": dict(self.im.stats),
             "ev": dict(self.ev.stats),
             "joint_frames": self.joint_frames,
+            "joint_bas": self.joint_bas,
         }

@@ -265,12 +265,94 @@ def fuse_duplicates(
     return m, jnp.sum(keep.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "do_fuse", "refresh_desc"))
+def keyframe_mapping_step(
+    m: ms.MapState,
+    cam_params: jnp.ndarray,
+    slot: jnp.ndarray,          # () int32 new keyframe slot
+    Tcw: jnp.ndarray,
+    ts,
+    xy: jnp.ndarray,
+    octave: jnp.ndarray,
+    angle: jnp.ndarray,
+    desc_pm1: jnp.ndarray,
+    feat_valid: jnp.ndarray,
+    feat_lm: jnp.ndarray,
+    tri_partners: jnp.ndarray,  # (T,) int32 older KF slots (pad = repeats)
+    fuse_partners: jnp.ndarray, # (F,) int32 covisible neighbors
+    kf_free: jnp.ndarray,       # (K,) bool local-BA window
+    iters: int = 8,
+    do_fuse: bool = True,
+    refresh_desc: bool = True,
+):
+    """The ENTIRE per-keyframe mapping pass as ONE dispatch: KF insertion,
+    multi-partner triangulation, duplicate fusion, local BA + culling +
+    descriptor refresh — the reference's LocalMapping::Run body
+    (src/LocalMapping.cc:72-284) minus KeyFrameCulling (host policy).
+
+    Returns (MapState, Tcw_optimized, stats[n_lm, n_fused, cost0, cost]).
+    Padded partner slots equal to `slot` are safe no-ops (zero-baseline
+    pairs fail the parallax gate; self-fusion only merges genuine in-frame
+    duplicates)."""
+    m = ms.insert_keyframe(
+        m, slot, Tcw, ts, xy, octave, angle, desc_pm1, feat_valid, feat_lm
+    )
+
+    def tri_body(m, ref_slot):
+        m, _ = create_new_landmarks(m, cam_params, slot, ref_slot)
+        return m, None
+
+    m, _ = jax.lax.scan(tri_body, m, tri_partners)
+
+    n_fused = jnp.asarray(0, jnp.int32)
+    if do_fuse:
+        def fuse_body(m, nb):
+            m, nf = fuse_duplicates(m, cam_params, slot, nb)
+            return m, nf
+
+        m, nfs = jax.lax.scan(fuse_body, m, fuse_partners)
+        n_fused = jnp.sum(nfs)
+
+    m, c0, c1 = local_ba(m, cam_params, kf_free, iters=iters,
+                         refresh_desc=refresh_desc)
+    stats = jnp.stack([
+        jnp.sum(m.lm_valid).astype(jnp.float32),
+        n_fused.astype(jnp.float32), c0, c1,
+    ])
+    return m, m.kf_T[slot], stats
+
+
+@jax.jit
+def update_landmark_descriptors(m: ms.MapState) -> ms.MapState:
+    """Recompute each landmark's representative descriptor as the MEDOID of
+    its observed descriptors (min mean distance to the others — the
+    reference's MapPoint::ComputeDistinctiveDescriptors uses min-median,
+    src/MapPoint.cc). Without this the founding descriptor goes stale as
+    the viewpoint changes and projection matching starves."""
+    d = m.kf_desc_pm1[m.obs_kf, m.obs_feat]                    # (M,P,256)
+    valid = m.obs_valid                                        # (M,P)
+    df = d.astype(jnp.float32)
+    dots = jnp.einsum("mpc,mqc->mpq", df, df)
+    dist = (256.0 - dots) * 0.5
+    pair_ok = valid[:, :, None] & valid[:, None, :]
+    sums = jnp.where(pair_ok, dist, 0.0).sum(-1)
+    cnt = pair_ok.sum(-1)
+    score = jnp.where(valid & (cnt > 0), sums / jnp.maximum(cnt, 1), 1e9)
+    best = jnp.argmin(score, axis=1)                           # (M,)
+    new_desc = jnp.take_along_axis(d, best[:, None, None], axis=1)[:, 0]
+    has = valid.any(axis=1)
+    return m._replace(
+        lm_desc_pm1=jnp.where(has[:, None], new_desc, m.lm_desc_pm1)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "refresh_desc"))
 def local_ba(
     m: ms.MapState,
     cam_params: jnp.ndarray,
     kf_free: jnp.ndarray,   # (K,) bool — poses to optimize (rest fixed)
     iters: int = 8,
+    refresh_desc: bool = True,
 ):
     """Local bundle adjustment directly over the map arrays.
 
@@ -308,4 +390,10 @@ def local_ba(
     link_ok = (m.kf_feat_lm >= 0) & lm_valid[jnp.clip(m.kf_feat_lm, 0)]
     m = m._replace(lm_valid=lm_valid, lm_nobs=nobs,
                    kf_feat_lm=jnp.where(link_ok, m.kf_feat_lm, -1))
+    if refresh_desc:
+        # keep representative descriptors fresh as viewpoints accumulate
+        # (MapPoint::ComputeDistinctiveDescriptors). Gated OFF for small
+        # sensors: on blurry MCI features the medoid hops between unstable
+        # observations and tracking accuracy degrades (measured)
+        m = update_landmark_descriptors(m)
     return m, res.cost0, res.cost

@@ -46,16 +46,57 @@ class LoopCloser:
 
     def __init__(self, cam_params, words_pm1, Kmax: int,
                  min_inliers: int = 20, nn_ratio: float = 0.75,
-                 max_edges: int = 256):
+                 max_edges: int = 256, consistency_required: int = 3,
+                 sparse_words_per_kf: int = 512):
         self.cam = jnp.asarray(cam_params)
-        self.words = jnp.asarray(words_pm1)
-        self.db = bow.empty_database(Kmax, int(self.words.shape[0]))
+        # vocabulary: flat (V,256) codebook for small test vocabularies, or
+        # a 2-level HierVocab + sparse index at real-vocabulary scale
+        # (bow.load_vocab_text_hier imports ORBvoc with its idf weights)
+        self.hier = isinstance(words_pm1, bow.HierVocab)
+        self.words = words_pm1 if self.hier else jnp.asarray(words_pm1)
+        self._Kmax = int(Kmax)
+        self._Nw = int(sparse_words_per_kf)
+        self.db = self.fresh_db()
         self.min_inliers = int(min_inliers)
         self.nn_ratio = float(nn_ratio)
         self.max_edges = int(max_edges)
         self._key = jax.random.PRNGKey(7)
+        # temporal-consistency chaining (reference NewDetectCommonRegions,
+        # src/LoopClosing.cc:267): a loop fires only after
+        # `consistency_required` consecutive keyframes retrieve candidates
+        # from one covisibility-consistent group — a single aliased BoW hit
+        # cannot trigger a (map-destroying) false correction
+        self.consistency_required = int(consistency_required)
+        self._chains: list[tuple[set, int]] = []
+
+    # -------------------------------------------------- vocabulary dispatch
+
+    def fresh_db(self):
+        if self.hier:
+            return bow.empty_sparse_database(self._Kmax, self._Nw)
+        return bow.empty_database(self._Kmax, int(self.words.shape[0]))
+
+    def frame_query(self, desc_pm1, feat_valid):
+        """Opaque per-frame BoW query object for `query_db`."""
+        if self.hier:
+            wid, w = bow.quantize_hier(desc_pm1, feat_valid, self.words)
+            return bow.sparse_bow_row(wid, w)
+        _, bw = bow.quantize(desc_pm1, feat_valid, self.words)
+        return bw
+
+    def query_db(self, q, exclude_mask, top_k: int = 3, db=None):
+        db = self.db if db is None else db
+        if self.hier:
+            return bow.sparse_detect_candidates(
+                db, q[0], q[1], exclude_mask, top_k=top_k)
+        return bow.detect_candidates(db, q, exclude_mask, top_k=top_k)
 
     def add_keyframe(self, m: ms.MapState, slot: int) -> None:
+        if self.hier:
+            wid, w = bow.quantize_hier(
+                m.kf_desc_pm1[slot], m.kf_feat_valid[slot], self.words)
+            self.db = bow.sparse_add_keyframe(self.db, slot, wid, w)
+            return
         _, bw = bow.quantize(
             m.kf_desc_pm1[slot], m.kf_feat_valid[slot], self.words
         )
@@ -64,17 +105,18 @@ class LoopCloser:
     def remove_keyframe(self, slot: int) -> None:
         """Drop a culled keyframe from the retrieval database (slot will be
         reused; stale BoW rows would resurface as false candidates)."""
+        if self.hier:
+            self.db = bow.sparse_erase_keyframe(self.db, slot)
+            return
         self.db = bow.erase_keyframe(self.db, slot)
 
     # ------------------------------------------------------------- detection
     def detect(self, m: ms.MapState, query: int):
         """Returns (candidate_slot, score) or (None, 0)."""
-        _, bw = bow.quantize(
-            m.kf_desc_pm1[query], m.kf_feat_valid[query], self.words
-        )
+        q = self.frame_query(m.kf_desc_pm1[query], m.kf_feat_valid[query])
         exclude = covisibility.covisibility_mask(m, jnp.asarray(query))
         exclude = exclude.at[query].set(True)
-        scores, idx = bow.detect_candidates(self.db, bw, exclude, top_k=3)
+        scores, idx = self.query_db(q, exclude, top_k=3)
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         if not np.isfinite(scores[0]) or scores[0] <= 0:
@@ -179,14 +221,32 @@ class LoopCloser:
             )
         return m
 
+    def _consistent(self, m: ms.MapState, cand: int) -> bool:
+        """Advance the temporal-consistency chains with this candidate's
+        covisibility group; True once a chain reaches the required length
+        (reference mvConsistentGroups logic, src/LoopClosing.cc:267)."""
+        C = np.asarray(covisibility.shared_counts(m))
+        group = set(np.flatnonzero(C[cand] >= 15).tolist()) | {cand}
+        hit = 1
+        for g, c in self._chains:
+            if g & group:
+                hit = max(hit, c + 1)
+        self._chains = ([(group, hit)]
+                        + [(g, c) for g, c in self._chains[:4] if not (g & group)])
+        return hit >= self.consistency_required
+
     def detect_and_correct(self, m: ms.MapState, query: int,
                            run_gba: bool = True, order=None):
         cand, score = self.detect(m, query)
         if cand is None:
+            self._chains = []
             return m, LoopInfo(False, query, -1, 0, 1.0)
+        if not self._consistent(m, cand):
+            return m, LoopInfo(False, query, cand, 0, 1.0)
         res, _ = self.verify(m, query, cand)
         n_inl = int(res.n_inliers)
         if n_inl < self.min_inliers:
             return m, LoopInfo(False, query, cand, n_inl, 1.0)
+        self._chains = []
         m = self.correct(m, query, cand, res, run_gba=run_gba, order=order)
         return m, LoopInfo(True, query, cand, n_inl, float(res.s))

@@ -86,6 +86,7 @@ def empty_map(K: int = 32, M: int = 4096, N: int = 512, P: int = 8) -> MapState:
     )
 
 
+@jax.jit
 def insert_keyframe(
     m: MapState,
     slot: jnp.ndarray,

@@ -43,6 +43,13 @@ def _track_flags(res):
 
 
 @jax.jit
+def _mm_predict(velocity, T_last):
+    """Constant-velocity motion-model prediction as ONE dispatch (an eager
+    4x4 matmul is a full round trip on a remote-TPU link)."""
+    return velocity @ T_last
+
+
+@jax.jit
 def _post_track_update(Tcw, T_last, kf_T_ref):
     """One fused dispatch for the per-frame pose algebra: motion model,
     and the trajectory entry relative to the reference keyframe. Eager
@@ -113,6 +120,8 @@ class MonoSlam:
         # mirroring the reference, whose event-side mapper (EvLocalMapping)
         # has no SearchInNeighbors pass
         self.fuse_enabled = img_w >= 320
+        # medoid descriptor refresh follows the same small-sensor policy
+        self.desc_refresh = img_w >= 320
         self.local_window = local_window
         self.min_init_matches = min_init_matches
         # the reference's TwoViewReconstruction requires 50 triangulated
@@ -156,7 +165,7 @@ class MonoSlam:
             from eorb_slam_tpu.slam import loop_closing as lc_mod
 
             self.loop_closer = lc_mod.LoopCloser(
-                cam_params, loop_words, Kmax=K
+                cam_params, loop_words, Kmax=K, sparse_words_per_kf=N
             )
         # BoW databases of stored (lost) maps, keyed by atlas index — the
         # retrieval side of cross-map merging (reference LoopClosing checks
@@ -270,6 +279,21 @@ class MonoSlam:
                       max_kp: Optional[int] = None):
         if max_kp is None:
             max_kp = self.map.N  # frame capacity == extraction budget
+        if self.state == OK and type(self)._track is MonoSlam._track:
+            # fused fast path: extraction + prediction + tracking in ONE
+            # dispatch (see tracking.track_image_frame)
+            ref = self._kf_ref()
+            res, feats, xy_ud, flags, vel_new, T_rel = \
+                tracking.track_image_frame(
+                    jnp.asarray(img), self.cam, self.map, self.velocity,
+                    self.T_last, self.map.kf_T[ref], max_kp=max_kp,
+                    img_w=self.img_w, img_h=self.img_h,
+                )
+            f = FrameInput(ts, xy_ud, feats.octave, feats.angle,
+                           feats.desc_pm1, feats.valid)
+            self.stats["frames"] += 1
+            return self._track_post(f, res, flags,
+                                    fused=(vel_new, T_rel, ref))
         feats = frontend.extract(img, max_kp=max_kp)
         xy_ud = cam_mod.undistort_points(self.cam, feats.xy)
         return self.process_features(
@@ -347,7 +371,8 @@ class MonoSlam:
         # init BA: optimize KF1 + landmarks, KF0 fixed (gauge)
         kf_free = jnp.zeros(self.map.K, bool).at[1].set(True)
         self.map, c0, c1 = local_mapping.local_ba(
-            self.map, self.cam, kf_free, iters=10
+            self.map, self.cam, kf_free, iters=10,
+            refresh_desc=self.desc_refresh,
         )
         # re-normalize scale after init BA (monocular scale gauge is free
         # with a single fixed pose; reference re-scales by median depth in
@@ -379,13 +404,16 @@ class MonoSlam:
     # ---------------------------------------------------------------- track
 
     def _track(self, f: FrameInput):
-        self.last_frame = f
-        T_pred = self.velocity @ self.T_last
+        T_pred = _mm_predict(self.velocity, self.T_last)
         res = tracking.track_frame(
             self.map, self.cam, f.xy_ud, f.octave, f.desc_pm1, f.valid,
             T_pred, img_w=self.img_w, img_h=self.img_h,
         )
-        n_inl, finite = (float(x) for x in np.asarray(_track_flags(res)))
+        return self._track_post(f, res, _track_flags(res))
+
+    def _track_post(self, f: FrameInput, res, flags, fused=None):
+        self.last_frame = f
+        n_inl, finite = (float(x) for x in np.asarray(flags))
         n_inl = int(n_inl)
 
         if n_inl < self.min_track_inliers:
@@ -400,6 +428,7 @@ class MonoSlam:
             n_inl = int(n_inl)
             if n_inl < self.min_track_inliers:
                 return self._handle_lost(f, n_inl)
+            fused = None
 
         if not finite:
             # a degenerate GN solve must not poison T_last / the trajectory
@@ -409,10 +438,13 @@ class MonoSlam:
         self.lost_frames = 0
         self.state = OK
         Tcw = res.Tcw
-        ref = self._kf_ref()
-        self.velocity, T_rel = _post_track_update(
-            Tcw, self.T_last, self.map.kf_T[ref]
-        )
+        if fused is not None and fused[2] == self._kf_ref():
+            self.velocity, T_rel, ref = fused[0], fused[1], fused[2]
+        else:
+            ref = self._kf_ref()
+            self.velocity, T_rel = _post_track_update(
+                Tcw, self.T_last, self.map.kf_T[ref]
+            )
         self.T_last = Tcw
         self.frames_since_kf += 1
         # trajectory entry stays ON DEVICE (no per-frame sync); readers
@@ -471,12 +503,8 @@ class MonoSlam:
             self.atlas.create_new_map()
             if self.loop_closer is not None:
                 # stash the lost map's BoW index for cross-map merging
-                from eorb_slam_tpu.retrieval import bow as bow_mod
-
                 self._stored_dbs[old_active] = self.loop_closer.db
-                self.loop_closer.db = bow_mod.empty_database(
-                    self.map.K, int(self.loop_closer.words.shape[0])
-                )
+                self.loop_closer.db = self.loop_closer.fresh_db()
         self.state = NOT_INITIALIZED
         self.n_kf = 0
         self.lost_frames = 0
@@ -487,8 +515,15 @@ class MonoSlam:
         return {"state": self.state, "n_inliers": n_inl, "new_map": True}
 
     def _relocalize(self, f: FrameInput):
-        """Global descriptor match against all landmarks + vmapped PnP RANSAC
-        (reference Relocalization, src/Tracking.cc:2641-2730 via MLPnP)."""
+        """Relocalization: BoW keyframe-database candidates + per-candidate
+        PnP RANSAC when a vocabulary is loaded (reference
+        KeyFrameDatabase::DetectRelocalizationCandidates,
+        src/KeyFrameDatabase.cc:783 + MLPnP at src/Tracking.cc:2641-2730);
+        global landmark matching is the vocabulary-less fallback."""
+        if self.loop_closer is not None and len(self._kf_order) >= 2:
+            T, n = self._relocalize_kfdb(f)
+            if T is not None:
+                return T, n
         m = self.map
         if int(np.asarray(m.lm_valid).sum()) < 30:
             return None, 0
@@ -509,6 +544,38 @@ class MonoSlam:
         if not bool(res.ok):
             return None, int(res.n_inliers)
         return res.Tcw, int(res.n_inliers)
+
+    def _relocalize_kfdb(self, f: FrameInput):
+        """Query the loop closer's BoW database with the lost frame, then
+        PnP against each candidate keyframe's landmarks (best-first)."""
+        m = self.map
+        lc = self.loop_closer
+        bq = lc.frame_query(f.desc_pm1, f.valid)
+        scores, idx = lc.query_db(bq, jnp.zeros(m.K, bool), top_k=3)
+        scores = np.asarray(scores)
+        idx = np.asarray(idx)
+        min_inl = max(self.min_track_inliers, 12)
+        for rank in range(len(idx)):
+            if not np.isfinite(scores[rank]) or scores[rank] <= 0:
+                continue
+            cand = int(idx[rank])
+            vc = m.kf_feat_valid[cand] & (m.kf_feat_lm[cand] >= 0)
+            j, _ = matching.match_nnratio(
+                f.desc_pm1, f.valid, m.kf_desc_pm1[cand], vc,
+                max_dist=matching.TH_LOW, nn_ratio=0.75, mutual=True,
+            )
+            matched = f.valid & (j >= 0)
+            if int(np.asarray(matched).sum()) < min_inl:
+                continue
+            lm = m.kf_feat_lm[cand][jnp.clip(j, 0)]
+            pts = m.lm_pos[jnp.clip(lm, 0)]
+            self.key, k = jax.random.split(self.key)
+            res = relocalization.pnp_ransac(
+                self.cam, pts, f.xy_ud, matched, k, min_inliers=min_inl,
+            )
+            if bool(res.ok):
+                return res.Tcw, int(res.n_inliers)
+        return None, 0
 
     def _freeze_trajectory(self):
         """Resolve all relative trajectory entries against the CURRENT map's
@@ -535,26 +602,16 @@ class MonoSlam:
         self._last_kf_ts = f.ts
         slot_i = self._alloc_kf_slot()
         slot = jnp.asarray(slot_i)
-        self.map = map_state.insert_keyframe(
-            self.map, slot, res.Tcw, f.ts, f.xy_ud, f.octave, f.angle,
-            f.desc_pm1, f.valid, res.feat_lm,
-        )
-        # triangulate against several recent keyframes: consecutive KFs may
-        # have too little baseline for the parallax gate (the reference uses
-        # up to 20 covisible KFs, src/LocalMapping.cc CreateNewMapPoints)
         order = self._kf_order
-        for back in range(1, min(4, len(order)) + 1):
-            ref_slot = jnp.asarray(order[-back])
-            self.map, n_new = local_mapping.create_new_landmarks(
-                self.map, self.cam, slot, ref_slot
-            )
-        # stereo / RGB-D: features with metric depth found no triangulation
-        # partner yet become depth-founded landmarks (reference creates
-        # close stereo points at KF creation, src/Tracking.cc)
-        if f.depth is not None:
-            self.map, _ = local_mapping.create_depth_landmarks(
-                self.map, self.cam, slot, jnp.asarray(f.depth)
-            )
+        # triangulation partners: several recent keyframes (consecutive KFs
+        # may lack baseline for the parallax gate; the reference uses up to
+        # 20 covisible KFs, src/LocalMapping.cc CreateNewMapPoints). Padded
+        # with `slot` (self-pairs no-op inside the fused step).
+        tri = [order[-k] if k <= len(order) else slot_i for k in range(1, 5)]
+        fuse_nb = [s_ for s_ in order[-4:-1]] if self.fuse_enabled else []
+        while len(fuse_nb) < 3:
+            fuse_nb.append(slot_i)
+
         self._kf_order.append(slot_i)
         self.kf_seq[slot_i] = self._kf_seq_next
         self._kf_seq_next += 1
@@ -562,15 +619,31 @@ class MonoSlam:
         self.frames_since_kf = 0
         self.n_inliers_ref = int(res.n_inliers)
 
-        # duplicate-landmark fusion across the covisible window (reference
-        # LocalMapping::SearchInNeighbors + ORBmatcher::Fuse)
-        self._fuse_neighbors(slot_i)
-
-        self.map, c0, c1 = local_mapping.local_ba(
-            self.map, self.cam, jnp.asarray(self._ba_window())
+        # the whole mapping pass (insert + triangulate + fuse + local BA)
+        # is ONE dispatch (local_mapping.keyframe_mapping_step)
+        self.map, T_new, stats = local_mapping.keyframe_mapping_step(
+            self.map, self.cam, slot, res.Tcw, f.ts, f.xy_ud, f.octave,
+            f.angle, f.desc_pm1, f.valid, res.feat_lm,
+            jnp.asarray(tri, jnp.int32), jnp.asarray(fuse_nb, jnp.int32),
+            jnp.asarray(self._ba_window()), do_fuse=self.fuse_enabled,
+            refresh_desc=self.desc_refresh,
         )
-        self.T_last = self.map.kf_T[slot_i]
+        # stereo / RGB-D: features with metric depth found no triangulation
+        # partner yet become depth-founded landmarks (reference creates
+        # close stereo points at KF creation, src/Tracking.cc)
+        if f.depth is not None:
+            self.map, _ = local_mapping.create_depth_landmarks(
+                self.map, self.cam, slot, jnp.asarray(f.depth)
+            )
+            self.map, _, _ = local_mapping.local_ba(
+                self.map, self.cam, jnp.asarray(self._ba_window())
+            )
+        self.T_last = T_new
+        st = np.asarray(stats)      # ONE host pull for the mapping stats
         self.stats["kf"] = self.n_kf
+        self.stats["lm"] = int(st[0])
+        if self.fuse_enabled:
+            self.stats["fused"] = self.stats.get("fused", 0) + int(st[1])
 
         # keyframe culling every mapping pass (reference runs it after LBA)
         self._cull_keyframes()
@@ -591,21 +664,6 @@ class MonoSlam:
                     self.stats["loops"] = self.loops_closed
             if self._stored_dbs and self.n_kf >= 4:
                 self._try_map_merge(q)
-        self.stats["lm"] = int(self.map.lm_valid.sum())
-
-    def _fuse_neighbors(self, slot_i: int) -> None:
-        """SearchInNeighbors / Fuse hook (see local_mapping.fuse_duplicates);
-        merges re-triangulated duplicate landmarks between the new keyframe
-        and its recent neighbors."""
-        order = self._kf_order
-        if not self.fuse_enabled or len(order) < 3:
-            return
-        neighbors = [s for s in order[-4:-1]]
-        for nb in neighbors:
-            self.map, n_fused = local_mapping.fuse_duplicates(
-                self.map, self.cam, jnp.asarray(slot_i), jnp.asarray(nb)
-            )
-        self.stats["fused"] = self.stats.get("fused", 0) + int(n_fused)
 
     def _try_map_merge(self, q: int):
         """Cross-map common-region detection + Sim3 weld (reference
@@ -613,17 +671,14 @@ class MonoSlam:
         maps' BoW indexes with the new KF; on a hit, Sim3-RANSAC the two
         KFs' landmark pairs and merge the stored map into the active one."""
         from eorb_slam_tpu.geometry import sim3_solver
-        from eorb_slam_tpu.retrieval import bow as bow_mod
 
         m = self.map
         lc = self.loop_closer
-        _, bw = bow_mod.quantize(
-            m.kf_desc_pm1[q], m.kf_feat_valid[q], lc.words
-        )
+        bq = lc.frame_query(m.kf_desc_pm1[q], m.kf_feat_valid[q])
         for idx in list(self._stored_dbs):
             db = self._stored_dbs[idx]
-            scores, cand_idx = bow_mod.detect_candidates(
-                db, bw, jnp.zeros(m.K, bool), top_k=1
+            scores, cand_idx = lc.query_db(
+                bq, jnp.zeros(m.K, bool), top_k=1, db=db
             )
             if not np.isfinite(float(scores[0])) or float(scores[0]) <= 0:
                 continue

@@ -109,6 +109,45 @@ def track_frame(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("max_kp", "img_w", "img_h")
+)
+def track_image_frame(
+    img: jnp.ndarray,          # (H,W) uint8/float
+    cam_params: jnp.ndarray,
+    m: MapState,
+    velocity: jnp.ndarray,     # (4,4) motion model
+    T_last: jnp.ndarray,       # (4,4)
+    ref_T: jnp.ndarray,        # (4,4) reference KF pose (trajectory entry)
+    max_kp: int = 512,
+    img_w: int = 752,
+    img_h: int = 480,
+):
+    """The FULL per-frame image step as ONE dispatch: extract -> undistort
+    -> motion-model predict -> project/match/pose-optimize -> packed host
+    flags + relative-pose trajectory entry.
+
+    On a remote-TPU link every separate dispatch costs a round trip; the
+    deployed per-frame cost is one H2D (uint8 image), one fused program,
+    one small result pull."""
+    from eorb_slam_tpu.ops import frontend as fe
+
+    feats = fe.extract(img, max_kp=max_kp)
+    xy_ud = cam_mod.undistort_points(cam_params, feats.xy)
+    T_pred = velocity @ T_last
+    res = track_frame(
+        m, cam_params, xy_ud, feats.octave, feats.desc_pm1, feats.valid,
+        T_pred, img_w=img_w, img_h=img_h,
+    )
+    flags = jnp.stack([
+        res.n_inliers.astype(jnp.float32),
+        jnp.isfinite(res.Tcw).all().astype(jnp.float32),
+    ])
+    vel_new = res.Tcw @ lie.se3_inv(T_last)
+    T_rel = res.Tcw @ lie.se3_inv(ref_T)
+    return res, feats, xy_ud, flags, vel_new, T_rel
+
+
 @jax.jit
 def match_for_initialization(
     desc1_pm1, valid1, xy1, desc2_pm1, valid2, xy2,

@@ -50,6 +50,18 @@ def _stack_identity_pre(K: int) -> pre_mod.Preintegrated:
 
 
 @jax.jit
+def _write_kf_imu_state(pre_kf, kf_vel, kf_bg, kf_ba, slot, pre_window,
+                        vel, bg, ba):
+    """One dispatch for the per-KF inertial-state writes (a dozen eager
+    .at[].set ops would each round-trip a remote link)."""
+    pre_kf = jax.tree_util.tree_map(
+        lambda s, x: s.at[slot].set(x), pre_kf, pre_window
+    )
+    return (pre_kf, kf_vel.at[slot].set(vel), kf_bg.at[slot].set(bg),
+            kf_ba.at[slot].set(ba))
+
+
+@jax.jit
 def _imu_predict(T_last, vel, pre_last, bg, ba, Tbc):
     """Fused PredictStateIMU: body-frame forward integration of the last
     inter-frame preintegration, returned as (T_pred, motion-model velocity,
@@ -215,8 +227,9 @@ class MonoInertialSlam(MonoSlam):
         self.lost_frames = 0
         self.state = OK
         ref = self._kf_ref()
-        _, T_rel = _post_track_update(Tcw, self.T_last, self.map.kf_T[ref])
-        self.velocity = Tcw @ lie.se3_inv(self.T_last)
+        vel_mm2, T_rel = _post_track_update(Tcw, self.T_last,
+                                            self.map.kf_T[ref])
+        self.velocity = vel_mm2
         self.T_last = Tcw
         self.vel = vel
         self.bg = bg
@@ -263,13 +276,12 @@ class MonoInertialSlam(MonoSlam):
         super()._insert_keyframe(f, res)  # allocates slot, runs local BA
         slot = self.last_kf_slot
 
-        self.pre_kf = jax.tree_util.tree_map(
-            lambda s, x: s.at[slot].set(x), self.pre_kf, pre_window
-        )
+        self.pre_kf, self.kf_vel, self.kf_bg, self.kf_ba = \
+            _write_kf_imu_state(
+                self.pre_kf, self.kf_vel, self.kf_bg, self.kf_ba,
+                jnp.asarray(slot), pre_window, self.vel, self.bg, self.ba,
+            )
         self.kf_prev[slot] = prev_slot
-        self.kf_vel = self.kf_vel.at[slot].set(self.vel)
-        self.kf_bg = self.kf_bg.at[slot].set(self.bg)
-        self.kf_ba = self.kf_ba.at[slot].set(self.ba)
         self.pre_since_kf = pre_mod.identity_preintegrated()
 
         if not self.imu_initialized:

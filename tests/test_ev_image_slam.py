@@ -69,3 +69,38 @@ def test_ev_mono_joint_tracking():
         )
         assert n_f >= len(traj)  # fused includes image + event poses
         assert rmse_f < max(0.15, 0.25 * 0.52 * span), (rmse_f, fused["chains"])
+
+
+def test_joint_ba_improves_or_matches_ate():
+    """The joint event+image local BA (reference EvOptimizer::LocalBundle-
+    Adjustment pulling event map points into every BA) must not degrade —
+    and typically improves — trajectory accuracy vs two independent BAs."""
+
+    def run(joint_ba: bool):
+        world = EventWorld(n_points=260, seed=11)
+        slam = ev_image_system.EvImageSlam(
+            CAM, make_cfg(), img_w=W, img_h=H,
+            max_kp=384, ev_max_kp=256, synch_window_s=0.2,
+            K=24, M=2048, min_init_matches=30, min_track_inliers=8,
+        )
+        slam.joint_ba_enabled = joint_ba
+        fps, t_end = 12.0, 2.6
+        ev = world.events(0.0, t_end, 80000)
+        last = 0.0
+        for t in np.arange(0.0, t_end, 1.0 / fps):
+            chunk = ev[(ev[:, 0] > last) & (ev[:, 0] <= float(t))]
+            img = render_frame(world, float(t))
+            slam.track_ev_mono(chunk, img, float(t))
+            last = float(t)
+        traj = slam.trajectory_twc()
+        gt = [(t, np.linalg.inv(world.pose(t))) for t, _ in traj]
+        rmse, n, _, _, _ = ate.ate_rmse(traj, gt, with_scale=True,
+                                        max_dt=0.05)
+        return rmse, n, slam
+
+    rmse_j, n_j, slam_j = run(True)
+    rmse_i, n_i, _ = run(False)
+    assert slam_j.joint_bas >= 1, slam_j.stats  # the joint backend ran
+    assert n_j >= 5 and n_i >= 5
+    # joint BA must be at least neutral (10% slack for solver noise)
+    assert rmse_j <= rmse_i * 1.10 + 1e-3, (rmse_j, rmse_i)

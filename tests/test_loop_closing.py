@@ -298,11 +298,27 @@ def test_loop_closer_end_to_end_detects_and_corrects():
     )
 
     words = bow.train_vocab(jnp.asarray(descs), 32, iters=3)
-    lc = loop_closing.LoopCloser(CAM, words, Kmax=16, min_inliers=15)
+    lc = loop_closing.LoopCloser(CAM, words, Kmax=16, min_inliers=15,
+                                 consistency_required=1)
     for k in range(K - 1):
         lc.add_keyframe(m, k)
     m2, info = lc.detect_and_correct(m, K - 1, run_gba=False)
     assert info.detected
+
+    # with the reference's default temporal-consistency gate, a SINGLE
+    # retrieval hit must NOT fire a correction; the chain has to build up
+    # over consecutive queries (reference NewDetectCommonRegions,
+    # src/LoopClosing.cc:267)
+    lc3 = loop_closing.LoopCloser(CAM, words, Kmax=16, min_inliers=15,
+                                  consistency_required=3)
+    for k in range(K - 1):
+        lc3.add_keyframe(m, k)
+    _, i1 = lc3.detect_and_correct(m, K - 1, run_gba=False)
+    assert not i1.detected
+    _, i2 = lc3.detect_and_correct(m, K - 1, run_gba=False)
+    assert not i2.detected
+    _, i3 = lc3.detect_and_correct(m, K - 1, run_gba=False)
+    assert i3.detected
     assert info.matched == 0
     err_before = np.abs(T_est[:K, :3, 3] - T_gt[:, :3, 3]).max()
     err_after = np.abs(
