@@ -226,3 +226,49 @@ def unproject(model: int, params, uv):
     if model == PINHOLE:
         return pinhole_unproject(params, uv)
     return kb8_unproject(params, uv)
+
+
+def kb8_triangulate_matches(
+    params1, params2, Trl, uv1, uv2, valid,
+    max_reproj_px: float = 2.0, min_parallax_cos: float = 0.9998,
+):
+    """Stereo-fisheye triangulation of matched keypoints between two
+    NON-rectified KB8 cameras (reference KannalaBrandt8::TriangulateMatches,
+    src/CameraModels/KannalaBrandt8.cpp:416: unproject both rays, DLT-
+    triangulate with the extrinsic Trl, gate by parallax + per-view
+    reprojection error; stereo-fisheye pairs cannot be rectified so the
+    pinhole disparity path does not apply).
+
+    Trl: (4,4) pose of the LEFT camera in the RIGHT camera's frame
+    (x_r = Trl x_l). Returns (pts3d in LEFT cam frame (N,3), depth (N,),
+    ok (N,)). Batched + jittable.
+    """
+    import jax
+    from eorb_slam_tpu.geometry import triangulation
+
+    rays1 = kb8_unproject(params1, uv1)                     # (N,3) unit-z
+    rays2 = kb8_unproject(params2, uv2)
+    T1 = jnp.eye(4, dtype=uv1.dtype)
+    pts = triangulation.triangulate_dlt(
+        T1[None], Trl[None], rays1, rays2
+    )                                                       # left-cam frame
+    z1 = pts[:, 2]
+    pc2 = pts @ Trl[:3, :3].T + Trl[:3, 3]
+    z2 = pc2[:, 2]
+    uv1_hat = kb8_project(params1, pts)
+    uv2_hat = kb8_project(params2, pc2)
+    e1 = jnp.linalg.norm(uv1_hat - uv1, axis=-1)
+    e2 = jnp.linalg.norm(uv2_hat - uv2, axis=-1)
+    # parallax between the two rays expressed in one frame
+    r2_in_1 = rays2 @ Trl[:3, :3]
+    cosp = jnp.sum(rays1 * r2_in_1, axis=-1) / (
+        jnp.linalg.norm(rays1, axis=-1) * jnp.linalg.norm(r2_in_1, axis=-1)
+        + 1e-12
+    )
+    ok = (
+        valid & (z1 > 1e-3) & (z2 > 1e-3)
+        & (e1 <= max_reproj_px) & (e2 <= max_reproj_px)
+        & (cosp < min_parallax_cos)
+        & jnp.isfinite(pts).all(axis=-1)
+    )
+    return pts, z1, ok

@@ -383,10 +383,26 @@ def load_mvsec(root: str, sequence: str, **kw) -> Sequence:
     raise NotImplementedError("MVSEC HDF5 path not wired yet")
 
 
+def load_rosbag(root: str, sequence: str, **kw) -> Sequence:
+    """ROS1 bag (v2.0) without ROS: pure-Python reader (io/rosbag.py;
+    reference RosBagStore, include/ROS/RosBagStore.h)."""
+    from eorb_slam_tpu.io import rosbag
+
+    path = os.path.join(root, sequence)
+    if not path.endswith(".bag"):
+        path += ".bag"
+    return rosbag.load_rosbag(path, **{
+        k: v for k, v in kw.items()
+        if k in ("image_topic", "imu_topic", "event_topic", "cache_dir")
+    })
+
+
 def load_sequence(fmt: str, root: str, sequence: str, **kw) -> Sequence:
     fmt = fmt.lower()
     if fmt == "euroc":
         return load_euroc(root, sequence, **kw)
+    if fmt in ("rosbag", "bag"):
+        return load_rosbag(root, sequence, **kw)
     if fmt in ("ev_ethz", "ethz", "event"):
         return load_ev_ethz(root, sequence, **kw)
     if fmt == "mvsec":

@@ -114,6 +114,56 @@ def _joint_local_ba_step(
     return im_map, ev_map, jnp.stack([res.cost0, res.cost])
 
 
+@jax.jit
+def _joint_pose_step(
+    cam_params,
+    im_lm_pos, ev_lm_pos,
+    feat_lm_i, xy_i, oct_i,
+    feat_lm_e, xy_e, oct_e,
+    R_ie, t_ie, s_ie,
+    Tcw0,
+):
+    """Joint image+event pose optimization as ONE dispatch: gather both
+    matched landmark sets (event side Sim3-bridged), one GN solve, packed
+    host flags [n_inl_total, n_inl_image, finite]."""
+    mi = feat_lm_i >= 0
+    me = feat_lm_e >= 0
+    pts_i = im_lm_pos[jnp.where(mi, feat_lm_i, 0)]
+    pts_e_raw = ev_lm_pos[jnp.where(me, feat_lm_e, 0)]
+    pts_e = s_ie * (pts_e_raw @ R_ie.T) + t_ie
+    pts = jnp.concatenate([pts_i, pts_e])
+    uv = jnp.concatenate([xy_i, xy_e])
+    inv_sig = jnp.concatenate(
+        [frontend.inv_sigma(oct_i), 0.5 * frontend.inv_sigma(oct_e)]
+    )
+    valid = jnp.concatenate([mi, me])
+    Tj, inlier, n_inl = pose_only.pose_optimization(
+        cam_params, Tcw0, pts, uv, inv_sig, valid
+    )
+    n_im = xy_i.shape[0]
+    flags = jnp.stack([
+        n_inl.astype(jnp.float32),
+        jnp.sum(inlier[:n_im]).astype(jnp.float32),
+        jnp.isfinite(Tj).all().astype(jnp.float32),
+    ])
+    return Tj, flags
+
+
+@jax.jit
+def _joint_writeback(Tj, T_last_im, T_last_ev, R_ie, t_ie, s_ie, ref_T_im):
+    """Post-joint-solve pose algebra in one dispatch: both trackers' motion
+    models, the event-gauge twin pose, and the trajectory entry."""
+    vel_im = Tj @ lie.se3_inv(T_last_im)
+    Te = (
+        jnp.eye(4, dtype=Tj.dtype)
+        .at[:3, :3].set(Tj[:3, :3] @ R_ie)
+        .at[:3, 3].set((Tj[:3, :3] @ t_ie + Tj[:3, 3]) / s_ie)
+    )
+    vel_ev = Te @ lie.se3_inv(T_last_ev)
+    T_rel = Tj @ lie.se3_inv(ref_T_im)
+    return vel_im, Te, vel_ev, T_rel
+
+
 class EvImageSlam:
     """One clock (image frames), two maps (image + event), joint pose opt."""
 
@@ -323,52 +373,41 @@ class EvImageSlam:
         s, R_ie, t_ie, resid = gauge
         self._last_gauge = (s, R_ie, t_ie)
 
-        mi = tr_i.feat_lm >= 0
-        me = tr_e.feat_lm >= 0
-        pts_i = self.im.map.lm_pos[jnp.where(mi, tr_i.feat_lm, 0)]
-        pts_e_raw = self.ev.map.lm_pos[jnp.where(me, tr_e.feat_lm, 0)]
-        pts_e = (
-            s * (jnp.asarray(R_ie, jnp.float32) @ pts_e_raw.T).T
-            + jnp.asarray(t_ie, jnp.float32)
+        # ONE dispatch for the joint solve + ONE packed flags pull (the
+        # eager gather/concat/solve path was ~10 round trips per frame on
+        # a remote link). Event points carry half weight: Sim3-bridged
+        # through an estimated (drifting) gauge, and MCI keypoints are
+        # intrinsically blurrier.
+        Tj, flags = _joint_pose_step(
+            self.cam, self.im.map.lm_pos, self.ev.map.lm_pos,
+            tr_i.feat_lm, f_i.xy_ud, f_i.octave,
+            tr_e.feat_lm, f_e.xy_ud, f_e.octave,
+            jnp.asarray(R_ie, jnp.float32), jnp.asarray(t_ie, jnp.float32),
+            jnp.asarray(s, jnp.float32), tr_i.Tcw,
         )
-
-        pts = jnp.concatenate([pts_i, pts_e])
-        uv = jnp.concatenate([f_i.xy_ud, f_e.xy_ud])
-        # event-map points are bridged through an estimated (drifting) Sim3
-        # and MCI keypoints are intrinsically blurrier: half weight (the
-        # reference's event edges likewise carry larger sigmas via octave)
-        inv_sig = jnp.concatenate(
-            [frontend.inv_sigma(f_i.octave), 0.5 * frontend.inv_sigma(f_e.octave)]
-        )
-        valid = jnp.concatenate([mi, me])
-
-        Tj, inlier, n_inl = pose_only.pose_optimization(
-            self.cam, tr_i.Tcw, pts, uv, inv_sig, valid
-        )
+        n_inl, im_inl_joint, finite = (float(x) for x in np.asarray(flags))
         # inlier-count sanity on the IMAGE subset: a bad gauge shows up as
         # the joint solve losing image inliers vs the image-only solve —
         # keep the image pose then (event inliers alone must not vouch)
-        n_im = f_i.xy_ud.shape[0]
-        im_inl_joint = int(jnp.sum(inlier[:n_im]))
-        if im_inl_joint < int(tr_i.n_inliers) or not bool(
-            jnp.isfinite(Tj).all()
-        ):
+        if im_inl_joint < int(tr_i.n_inliers) or not finite:
             return {"n_inliers": int(n_inl), "rejected": True}
 
         # write the joint pose back into both trackers (and their gauges):
         # Tcw_ev = [R_j R_ie | (R_j t_ie + t_j)/s] maps event-world to the
-        # camera in event-map units
-        Tj_np = np.asarray(Tj)
-        self.im.velocity = jnp.asarray(Tj_np) @ lie.se3_inv(self.im.T_last)
-        self.im.T_last = jnp.asarray(Tj_np)
-        Te_j = np.eye(4, dtype=np.float32)
-        Te_j[:3, :3] = Tj_np[:3, :3] @ R_ie
-        Te_j[:3, 3] = (Tj_np[:3, :3] @ t_ie + Tj_np[:3, 3]) / s
-        self.ev.velocity = jnp.asarray(Te_j) @ lie.se3_inv(self.ev.T_last)
-        self.ev.T_last = jnp.asarray(Te_j)
+        # camera in event-map units — one fused dispatch, nothing pulled
+        vel_im, Te_j, vel_ev, T_rel = _joint_writeback(
+            Tj, self.im.T_last, self.ev.T_last,
+            jnp.asarray(R_ie, jnp.float32), jnp.asarray(t_ie, jnp.float32),
+            jnp.asarray(s, jnp.float32),
+            self.im.map.kf_T[self.im._kf_ref()],
+        )
+        self.im.velocity = vel_im
+        self.im.T_last = Tj
+        self.ev.velocity = vel_ev
+        self.ev.T_last = Te_j
         if self.im.trajectory and self.im.trajectory[-1][0] == ts:
             self.im.trajectory.pop()
-            self.im._log_pose(ts, jnp.asarray(Tj_np))
+            self.im.trajectory.append((ts, T_rel, self.im._kf_ref()))
         self.joint_frames += 1
         return {"n_inliers": int(n_inl), "scale_bridge": s, "gauge_resid": resid}
 

@@ -315,9 +315,17 @@ def keyframe_mapping_step(
 
     m, c0, c1 = local_ba(m, cam_params, kf_free, iters=iters,
                          refresh_desc=refresh_desc)
+    # BA telemetry (the reference's Local*BA out-params: fixed/opt KFs,
+    # MPs, edges — include/Optimizer.h:64-65): packed into the one stats
+    # pull so observability costs no extra round trip
+    n_edges = jnp.sum(m.obs_valid & m.lm_valid[:, None]
+                      & m.kf_valid[m.obs_kf])
     stats = jnp.stack([
         jnp.sum(m.lm_valid).astype(jnp.float32),
         n_fused.astype(jnp.float32), c0, c1,
+        jnp.sum(kf_free & m.kf_valid).astype(jnp.float32),
+        jnp.sum(~kf_free & m.kf_valid).astype(jnp.float32),
+        n_edges.astype(jnp.float32),
     ])
     return m, m.kf_T[slot], stats
 

@@ -172,6 +172,12 @@ class MonoSlam:
         # candidates over the whole Atlas, src/LoopClosing.cc:267)
         self._stored_dbs: dict = {}
         self.map_merges = 0
+        # async tracking/mapping overlap (SURVEY §2.10: the reference's
+        # LocalMapping THREAD becomes async dispatch): the mapping step's
+        # small stats stay ON DEVICE and culling is deferred until the next
+        # keyframe, so per-frame tracking dispatches pipeline behind the
+        # in-flight BA instead of blocking on its results
+        self._pending_map_stats = None
 
     # ------------------------------------------------------------- map/atlas
 
@@ -477,6 +483,7 @@ class MonoSlam:
         attempts relocalization for a grace window, then the Atlas either
         resets a tiny active map or stores it and starts fresh
         (CreateMapInAtlas, src/Tracking.cc:1206-1224)."""
+        self._drain_mapping()
         self.stats["lost"] += 1
         self.lost_frames += 1
 
@@ -598,8 +605,34 @@ class MonoSlam:
             kf_free[s] = True
         return kf_free
 
+    def _drain_mapping(self):
+        """Force the previous mapping step's deferred host work: pull its
+        stats and run the postponed KeyFrameCulling pass."""
+        if self._pending_map_stats is None:
+            return
+        st = np.asarray(self._pending_map_stats)
+        self._pending_map_stats = None
+        self.stats["lm"] = int(st[0])
+        if self.fuse_enabled:
+            self.stats["fused"] = self.stats.get("fused", 0) + int(st[1])
+        self.stats["ba"] = {
+            "opt_kf": int(st[4]), "fixed_kf": int(st[5]),
+            "edges": int(st[6]), "cost0": float(st[2]), "cost": float(st[3]),
+        }
+        from eorb_slam_tpu.utils.logging import every_n, get_logger
+
+        log = get_logger("eorb.mapping")
+        if log.isEnabledFor(20) and every_n("lba", 5):
+            log.info(
+                "LBA kf=%d opt=%d fixed=%d edges=%d cost %.1f->%.1f lm=%d",
+                self.n_kf, int(st[4]), int(st[5]), int(st[6]),
+                float(st[2]), float(st[3]), int(st[0]),
+            )
+        self._cull_keyframes()
+
     def _insert_keyframe(self, f: FrameInput, res: tracking.TrackResult):
         self._last_kf_ts = f.ts
+        self._drain_mapping()
         slot_i = self._alloc_kf_slot()
         slot = jnp.asarray(slot_i)
         order = self._kf_order
@@ -639,14 +672,13 @@ class MonoSlam:
                 self.map, self.cam, jnp.asarray(self._ba_window())
             )
         self.T_last = T_new
-        st = np.asarray(stats)      # ONE host pull for the mapping stats
         self.stats["kf"] = self.n_kf
-        self.stats["lm"] = int(st[0])
-        if self.fuse_enabled:
-            self.stats["fused"] = self.stats.get("fused", 0) + int(st[1])
-
-        # keyframe culling every mapping pass (reference runs it after LBA)
-        self._cull_keyframes()
+        # stats stay on device; the pull + culling happen at the NEXT
+        # keyframe (async tracking/mapping overlap) — unless a loop closer
+        # needs a consistent host view right now
+        self._pending_map_stats = stats
+        if self.loop_closer is not None:
+            self._drain_mapping()
 
         # place recognition + loop correction (reference LoopClosing::Run
         # consumes every new KF; inline here instead of a thread)
@@ -770,6 +802,7 @@ class MonoSlam:
         """[(ts, Twc 4x4)] for evaluation (camera-to-world). Entries from
         earlier Atlas maps were frozen at map-switch time; current-map
         entries recompose against the latest keyframe poses."""
+        self._drain_mapping()
         kf_T = np.asarray(self.map.kf_T)
         out = list(self._traj_frozen)
         for ts, T_rel, ref in self.trajectory:

@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from eorb_slam_tpu.geometry import camera as cam_mod, lie
 from eorb_slam_tpu.ops import frontend, matching
@@ -61,12 +62,47 @@ def track_frame(
         & (uv[:, 1] >= 0) & (uv[:, 1] < img_h)
     )
 
+    # 1b. landmark quality attributes ON THE FLY from the observation table
+    # (MapPoint::UpdateNormalAndDepth + PredictScale + Frame::isInFrustum,
+    # reference src/MapPoint.cc, src/Frame.cc): mean viewing direction,
+    # scale-corrected distance-of-observation bounds, predicted pyramid
+    # level. Derived per call instead of stored — never stale, no schema.
+    Rk = m.kf_T[:, :3, :3]
+    kf_C = -jnp.einsum("kij,kj->ki", Rk.transpose(0, 2, 1), m.kf_T[:, :3, 3])
+    obs_ok = m.obs_valid & m.kf_valid[m.obs_kf]            # (M,P)
+    d_obs = m.lm_pos[:, None, :] - kf_C[m.obs_kf]          # (M,P,3)
+    dist_obs = jnp.linalg.norm(d_obs, axis=-1)
+    oct_obs = m.kf_octave[m.obs_kf, m.obs_feat]
+    level_dist = dist_obs * 1.2 ** oct_obs.astype(jnp.float32)
+    dmax = jnp.max(jnp.where(obs_ok, level_dist, 0.0), axis=1)
+    dmin = dmax / 1.2**7
+    normal = jnp.sum(
+        jnp.where(obs_ok[..., None], d_obs / (dist_obs[..., None] + 1e-9),
+                  0.0), axis=1)
+    normal = normal / (jnp.linalg.norm(normal, axis=-1, keepdims=True) + 1e-9)
+    has_obs = obs_ok.any(axis=1) & (dmax > 1e-6)
+
+    C_pred = -T_pred[:3, :3].T @ T_pred[:3, 3]
+    v = m.lm_pos - C_pred
+    dist = jnp.linalg.norm(v, axis=-1)
+    cos_view = jnp.sum(v / (dist[:, None] + 1e-9) * normal, axis=-1)
+    in_range = (dist >= 0.8 * dmin) & (dist <= 1.3 * dmax) & (cos_view > 0.5)
+    vis = vis & (~has_obs | in_range)
+    # predicted level at the current distance (PredictScale)
+    pred_level = jnp.clip(
+        jnp.floor(jnp.log(jnp.maximum(dmax, 1e-6) / jnp.maximum(dist, 1e-6))
+                  / np.log(1.2) + 0.5), 0, 7).astype(jnp.int32)
+
     # 2. admissible pairs: window scaled by feature octave (coarser level ->
-    # larger window, reference ORBmatcher::SearchByProjection radius*scale)
+    # larger window, reference ORBmatcher::SearchByProjection radius*scale),
+    # and the feature's pyramid level must match the predicted one +-1
     scale = 1.2 ** octave.astype(jnp.float32)
     r = search_radius * scale                               # (N,)
     d2 = jnp.sum((xy_ud[:, None, :] - uv[None, :, :]) ** 2, axis=-1)
-    pair = (d2 <= (r[:, None] ** 2)) & vis[None, :]
+    level_ok = (
+        jnp.abs(octave[:, None] - pred_level[None, :]) <= 1
+    ) | ~has_obs[None, :]
+    pair = (d2 <= (r[:, None] ** 2)) & vis[None, :] & level_ok
 
     # 3. matching
     feat_lm, dist = matching.match_nnratio(

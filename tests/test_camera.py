@@ -117,3 +117,47 @@ class TestRectifyMap:
         assert np.isfinite(m).all()
         # principal point is a fixed point of the rectification
         assert np.linalg.norm(m[22, 30] - [30, 22]) < 1.5
+
+
+def test_kb8_triangulate_matches():
+    """Stereo-fisheye triangulation (reference KannalaBrandt8::
+    TriangulateMatches): points projected into two KB8 cameras with a known
+    baseline must triangulate back to their true positions."""
+    import numpy as np
+    import jax.numpy as jnp
+    from eorb_slam_tpu.geometry import camera
+
+    p1 = camera.make_kb8(285.0, 286.0, 160.0, 120.0,
+                         k1=0.01, k2=-0.002, k3=0.001, k4=-0.0005)
+    p2 = camera.make_kb8(284.0, 285.0, 161.0, 119.0,
+                         k1=0.012, k2=-0.001, k3=0.0, k4=0.0)
+    rng = np.random.default_rng(0)
+    pts = np.concatenate([
+        rng.uniform(-1.5, 1.5, (64, 2)), rng.uniform(1.5, 6.0, (64, 1))
+    ], axis=1).astype(np.float32)
+    Trl = np.eye(4, dtype=np.float32)
+    Trl[:3, 3] = [-0.11, 0.0, 0.0]   # 11 cm stereo baseline
+    uv1 = np.asarray(camera.kb8_project(p1, jnp.asarray(pts)))
+    pc2 = pts @ Trl[:3, :3].T + Trl[:3, 3]
+    uv2 = np.asarray(camera.kb8_project(p2, jnp.asarray(pc2)))
+    uv1n = uv1 + rng.normal(0, 0.2, uv1.shape).astype(np.float32)
+    uv2n = uv2 + rng.normal(0, 0.2, uv2.shape).astype(np.float32)
+
+    out, z, ok = camera.kb8_triangulate_matches(
+        p1, p2, jnp.asarray(Trl), jnp.asarray(uv1n), jnp.asarray(uv2n),
+        jnp.ones(64, bool),
+    )
+    ok = np.asarray(ok)
+    assert ok.sum() > 48, ok.sum()
+    err = np.linalg.norm(np.asarray(out)[ok] - pts[ok], axis=1)
+    # depth noise grows as z^2/(f b): gate overall loosely, near points tight
+    assert np.median(err) < 0.2, np.median(err)
+    near = pts[ok][:, 2] < 2.5
+    assert near.sum() > 5 and np.median(err[near]) < 0.05, np.median(err[near])
+    # behind-camera / bogus matches are rejected
+    uv_bad = uv2n[::-1]
+    _, _, ok_bad = camera.kb8_triangulate_matches(
+        p1, p2, jnp.asarray(Trl), jnp.asarray(uv1n), jnp.asarray(uv_bad),
+        jnp.ones(64, bool),
+    )
+    assert np.asarray(ok_bad).sum() < 8
