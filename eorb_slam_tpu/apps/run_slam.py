@@ -222,16 +222,10 @@ def run_sequence(
                 slam.process_image(jnp.asarray(img), t)  # uint8; extract
                 # casts on device
             elif s is SensorConfig.IMU_MONOCULAR:
-                from eorb_slam_tpu.ops import frontend
-                from eorb_slam_tpu.geometry import camera as cam_mod
-                from eorb_slam_tpu.slam.system import FrameInput
-
-                feats = frontend.extract(jnp.asarray(img), max_kp=slam.map.N)
-                xy_ud = cam_mod.undistort_points(slam.cam, feats.xy)
-                slam.process_features_imu(
-                    FrameInput(t, xy_ud, feats.octave, feats.angle,
-                               feats.desc_pm1, feats.valid),
-                    _imu_chunk(seq, t_prev, t),
+                # fused per-frame path: extraction + predict + track + VI
+                # pose opt in ONE dispatch (vi_system._vi_frame_step)
+                slam.process_image_imu(
+                    jnp.asarray(img), t, _imu_chunk(seq, t_prev, t)
                 )
             elif s is SensorConfig.STEREO:
                 img_r = seq.image_right(i) * 255.0

@@ -140,8 +140,12 @@ class Sequence:
     right_paths: Optional[list] = None    # stereo right images (cam1)
     depth_paths: Optional[list] = None    # RGB-D depth images
     depth_factor: float = 5000.0          # TUM depth png scale (mm*5)
+    image_arrays: Optional[np.ndarray] = None  # (F,H,W) in-memory frames
+    #                                       (HDF5-served datasets, e.g. MVSEC)
 
     def image(self, i: int) -> np.ndarray:
+        if self.image_arrays is not None:
+            return np.asarray(self.image_arrays[i], np.float32) / 255.0
         return _load_image(self.image_paths[i])
 
     def image_right(self, i: int) -> np.ndarray:
@@ -189,6 +193,15 @@ def load_euroc(root: str, sequence: str, ts_factor: float = 1.0e9) -> Sequence:
         if all(os.path.exists(p) for p in rp[:3]):
             right_paths = rp
 
+    # depth camera (synthetic RGB-D sequences in EuRoC layout: depth0/data
+    # holds 16-bit TUM-convention depth PNGs with matching filenames)
+    depth_paths = None
+    depth_dir = os.path.join(seq_root, "depth0", "data")
+    if os.path.isdir(depth_dir):
+        dp = [os.path.join(depth_dir, os.path.basename(p)) for p in paths]
+        if all(os.path.exists(p) for p in dp[:3]):
+            depth_paths = dp
+
     imu = None
     imu_csv = os.path.join(seq_root, "imu0", "data.csv")
     if os.path.exists(imu_csv):
@@ -214,6 +227,7 @@ def load_euroc(root: str, sequence: str, ts_factor: float = 1.0e9) -> Sequence:
     return Sequence(
         name=sequence, image_ts=image_ts, image_paths=paths, imu=imu,
         gt_ts=gt_ts, gt_pose=gt_pose, right_paths=right_paths,
+        depth_paths=depth_paths,
     )
 
 
@@ -365,22 +379,108 @@ def load_ev_ethz(
     )
 
 
-def load_mvsec(root: str, sequence: str, **kw) -> Sequence:
-    """MVSEC: served either as EV-ETHZ-style txt exports (supported directly)
-    or as HDF5 (requires h5py, gated). Reference treats MVSEC through the
-    same EvEthzLoader pathway after conversion (README.md:14).
-    """
+def load_mvsec(root: str, sequence: str, max_events: Optional[int] = None,
+               side: str = "left", **kw) -> Sequence:
+    """MVSEC: EV-ETHZ-style txt exports (served through `load_ev_ethz`) or
+    the native HDF5 pair `<sequence>_data.hdf5` / `<sequence>_gt.hdf5`
+    (reference pathway: include/Event/EventLoader.h:52-91; the reference
+    itself only parses the txt export — the HDF5 path here EXCEEDS it).
+
+    HDF5 layout (MVSEC release format): `davis/<side>/events` (N,4) with
+    columns (x, y, t, p); `image_raw` (F,H,W) uint8 + `image_raw_ts` (F,);
+    `imu` (N,6) = (ax, ay, az, wx, wy, wz) + `imu_ts`; GT file:
+    `davis/<side>/pose` (G,4,4) Twc + `pose_ts`. The time column of the
+    event table is DETECTED (the monotone non-decreasing one), so exports
+    with (t, x, y, p) ordering load identically."""
     seq_root = os.path.join(root, sequence)
     if os.path.exists(os.path.join(seq_root, "events.txt")):
         return load_ev_ethz(root, sequence, **kw)
-    try:
-        import h5py  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "MVSEC HDF5 requires h5py (not in this image); export the sequence "
-            "to EV-ETHZ txt format instead"
-        ) from e
-    raise NotImplementedError("MVSEC HDF5 path not wired yet")
+    import h5py
+
+    cands = [
+        os.path.join(root, sequence + "_data.hdf5"),
+        os.path.join(seq_root, sequence + "_data.hdf5"),
+        os.path.join(seq_root, "data.hdf5"),
+    ]
+    data_path = next((p for p in cands if os.path.exists(p)), None)
+    if data_path is None:
+        raise FileNotFoundError(
+            f"MVSEC: no events.txt export and no *_data.hdf5 under "
+            f"{root}/{sequence}"
+        )
+
+    with h5py.File(data_path, "r") as f:
+        g = f["davis"][side]
+        ev_raw = np.asarray(
+            g["events"][:max_events] if max_events else g["events"],
+            np.float64,
+        )
+        # detect the time column: the only strictly non-decreasing one with
+        # large magnitude (epoch seconds); x/y/p all oscillate
+        tcol = None
+        for c in range(ev_raw.shape[1]):
+            d = np.diff(ev_raw[: min(len(ev_raw), 4096), c])
+            if len(d) and (d >= 0).all() and ev_raw[0, c] != ev_raw[-1, c]:
+                tcol = c
+                break
+        if tcol is None:
+            raise ValueError("MVSEC events: no monotone time column found")
+        others = [c for c in range(ev_raw.shape[1]) if c != tcol]
+        # polarity column: values in {-1,0,1}; of the rest, x spans wider
+        # than y (346x260 sensor) — fall back to (x, y, p) order
+        pol = next(
+            (c for c in others
+             if np.isin(np.unique(ev_raw[:1024, c]), [-1, 0, 1]).all()),
+            others[-1],
+        )
+        xy = [c for c in others if c != pol]
+        events = np.stack([
+            ev_raw[:, tcol], ev_raw[:, xy[0]], ev_raw[:, xy[1]],
+            np.where(ev_raw[:, pol] > 0, 1.0, -1.0),
+        ], axis=1)
+
+        image_arrays = image_ts = None
+        if "image_raw" in g:
+            image_arrays = np.asarray(g["image_raw"])
+            image_ts = np.asarray(g["image_raw_ts"], np.float64)
+
+        imu = None
+        if "imu" in g:
+            arr = np.asarray(g["imu"], np.float64)
+            imu = ImuData(
+                ts=np.asarray(g["imu_ts"], np.float64),
+                gyro=arr[:, 3:6].astype(np.float32),
+                acc=arr[:, 0:3].astype(np.float32),
+            )
+
+    gt_ts = gt_pose = None
+    gt_path = data_path.replace("_data.hdf5", "_gt.hdf5")
+    if gt_path != data_path and os.path.exists(gt_path):
+        with h5py.File(gt_path, "r") as f:
+            gg = f["davis"][side]
+            if "pose" in gg:
+                Ts = np.asarray(gg["pose"], np.float64)     # (G,4,4) Twc
+                gt_ts = np.asarray(gg["pose_ts"], np.float64)
+                from eorb_slam_tpu.io.synth_dataset import quat_wxyz_np
+
+                quats = np.stack([quat_wxyz_np(T[:3, :3]) for T in Ts])
+                gt_pose = np.concatenate([
+                    Ts[:, :3, 3],                      # tx ty tz
+                    quats[:, 1:4], quats[:, 0:1],      # qx qy qz qw
+                ], axis=1)
+
+    if image_ts is None:
+        # event-only HDF5: synthesize a nominal frame clock so event-mode
+        # apps (which pace on image_ts) can still drive the stream
+        t0, t1 = float(events[0, 0]), float(events[-1, 0])
+        image_ts = np.arange(t0, t1, 1.0 / 30.0)
+
+    return Sequence(
+        name=sequence, image_ts=image_ts, image_paths=[],
+        image_arrays=image_arrays,
+        imu=imu, events=EventStream(events),
+        gt_ts=gt_ts, gt_pose=gt_pose,
+    )
 
 
 def load_rosbag(root: str, sequence: str, **kw) -> Sequence:

@@ -430,7 +430,7 @@ def make_box_renderer(kind: str, W: int, H: int, fx: float, seed: int = 0):
                 + ax * ay * tex[y1, x1])
 
     @jax.jit
-    def render(Tcw):
+    def render_with_depth(Tcw):
         R = Tcw[:3, :3]
         t = Tcw[:3, 3]
         C = -R.T @ t
@@ -451,8 +451,14 @@ def make_box_renderer(kind: str, W: int, H: int, fx: float, seed: int = 0):
             hit = th < best_t
             val = jnp.where(hit, v_pix, val)
             best_t = jnp.minimum(best_t, th)
-        return jnp.clip(val, 0.0, 1.0)
+        # d_cam has z=1, so the ray parameter IS the camera z-depth
+        depth = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
+        return jnp.clip(val, 0.0, 1.0), depth
 
+    def render(Tcw):
+        return render_with_depth(Tcw)[0]
+
+    render.with_depth = render_with_depth
     return render
 
 
@@ -463,6 +469,16 @@ def _save_png(path: str, img: np.ndarray) -> None:
     from PIL import Image
 
     Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8), "L").save(path)
+
+
+def _save_depth_png(path: str, depth_m: np.ndarray, factor: float) -> None:
+    """16-bit depth PNG, TUM convention (counts = meters * factor; 0 = no
+    reading). Depths beyond the uint16 range are recorded as missing."""
+    from PIL import Image
+
+    counts = depth_m * factor
+    counts = np.where((counts > 0) & (counts < 65535), counts, 0)
+    Image.fromarray(counts.astype(np.uint16), "I;16").save(path)
 
 
 def _quat_wxyz(R_wc: np.ndarray) -> np.ndarray:
@@ -485,16 +501,38 @@ def write_euroc(root: str, seq: str, scene: Scene, pose_fn,
                 duration: float, fps: float = 20.0, imu_hz: float = 200.0,
                 gt_hz: float = 100.0, noise_gyro: float = 2e-4,
                 noise_acc: float = 2e-3, verbose: bool = True,
-                renderer=None) -> str:
-    """Render + write a EuRoC-layout sequence (ns integer timestamps)."""
+                renderer=None, stereo_baseline: Optional[float] = None,
+                write_depth: bool = False,
+                depth_factor: float = 5000.0) -> str:
+    """Render + write a EuRoC-layout sequence (ns integer timestamps).
+
+    ``stereo_baseline``: also render cam1 displaced by +baseline meters
+    along the camera x axis (EuRoC cam1 layout, rectified geometry).
+    ``write_depth``: also write 16-bit depth PNGs (TUM convention,
+    depth_factor counts per meter) under depth0/data — requires a renderer
+    with a ``with_depth`` variant (make_box_renderer provides one)."""
     base = os.path.join(root, seq, "mav0")
     cam_dir = os.path.join(base, "cam0", "data")
     imu_dir = os.path.join(base, "imu0")
     gt_dir = os.path.join(base, "state_groundtruth_estimate0")
-    for d in (cam_dir, imu_dir, gt_dir):
+    dirs = [cam_dir, imu_dir, gt_dir]
+    if stereo_baseline:
+        cam1_dir = os.path.join(base, "cam1", "data")
+        dirs.append(cam1_dir)
+    if write_depth:
+        depth_dir = os.path.join(base, "depth0", "data")
+        dirs.append(depth_dir)
+    for d in dirs:
         os.makedirs(d, exist_ok=True)
 
     render = renderer if renderer is not None else _renderer(scene, pose_fn)
+    if write_depth and not hasattr(render, "with_depth"):
+        raise ValueError("write_depth requires a renderer with .with_depth")
+    T_rl = np.eye(4, dtype=np.float32)
+    if stereo_baseline:
+        # right camera: a point at x in the left frame sits at x - b in the
+        # right frame -> Tcw_right = [I | -b e_x] @ Tcw_left
+        T_rl[0, 3] = -float(stereo_baseline)
     n_frames = int(duration * fps)
     with open(os.path.join(base, "cam0", "data.csv"), "w") as f:
         f.write("#timestamp [ns],filename\n")
@@ -502,8 +540,18 @@ def write_euroc(root: str, seq: str, scene: Scene, pose_fn,
             t = (i + 1) / fps
             ns = int(round(t * 1e9))
             name = f"{ns}.png"
-            img = np.asarray(render(np.asarray(pose_fn(t), np.float32)))
+            Tcw = np.asarray(pose_fn(t), np.float32)
+            if write_depth:
+                img, depth = (np.asarray(x)
+                              for x in render.with_depth(Tcw))
+                _save_depth_png(os.path.join(depth_dir, name), depth,
+                                depth_factor)
+            else:
+                img = np.asarray(render(Tcw))
             _save_png(os.path.join(cam_dir, name), img)
+            if stereo_baseline:
+                img_r = np.asarray(render(T_rl @ Tcw))
+                _save_png(os.path.join(cam1_dir, name), img_r)
             f.write(f"{ns},{name}\n")
             if verbose and i % 200 == 0:
                 print(f"[{seq}] frame {i}/{n_frames}", flush=True)
@@ -639,6 +687,10 @@ def main(argv=None):
     p.add_argument("--sim-hz", type=float, default=150.0)
     p.add_argument("--contrast", type=float, default=0.25)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--stereo-baseline", type=float, default=None,
+                   help="also render cam1 at this baseline (meters)")
+    p.add_argument("--depth", action="store_true",
+                   help="also write 16-bit depth PNGs (RGB-D modes)")
     p.add_argument("--tpu", action="store_true",
                    help="render on the default (TPU) backend instead of CPU")
     args = p.parse_args(argv)
@@ -665,7 +717,9 @@ def main(argv=None):
         # image-frontend datasets use the dense textured-box renderer
         renderer = make_box_renderer(traj, W, H, fx, seed=args.seed)
         out = write_euroc(args.out, args.seq, scene, pose_fn,
-                          args.duration, fps=fps, renderer=renderer)
+                          args.duration, fps=fps, renderer=renderer,
+                          stereo_baseline=args.stereo_baseline,
+                          write_depth=args.depth)
     else:
         out = write_ev_ethz(args.out, args.seq, scene, pose_fn,
                             args.duration, fps=fps, sim_hz=args.sim_hz,

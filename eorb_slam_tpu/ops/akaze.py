@@ -43,15 +43,28 @@ from eorb_slam_tpu.ops import fast, orb, pyramid
 
 def _scharr(img: jnp.ndarray):
     """Scharr x/y first derivatives (AKAZE's derivative filter)."""
-    kx = jnp.asarray([[-3, 0, 3], [-10, 0, 10], [-3, 0, 3]], jnp.float32) / 32.0
+    kx = np.asarray([[-3, 0, 3], [-10, 0, 10], [-3, 0, 3]], np.float32) / 32.0
     ky = kx.T
     return _conv2(img, kx), _conv2(img, ky)
 
 
 def _conv2(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.conv_general_dilated(
-        img[None, None], k[None, None], (1, 1), "SAME"
-    )[0, 0]
+    """Small 2-D correlation as static-slice shift-and-fma: a C=1
+    lax.conv cannot tile onto the MXU (XLA:TPU lowers it to scalar window
+    code — see pyramid.gaussian_blur for the measurement)."""
+    k = np.asarray(k)  # kernels must be host constants (see _scharr)
+    kh, kw = k.shape
+    ph, pw = kh // 2, kw // 2
+    h, w = img.shape
+    x = jnp.pad(img, ((ph, ph), (pw, pw)))
+    out = jnp.zeros_like(img)
+    for i in range(kh):
+        for j in range(kw):
+            kv = float(k[i, j])
+            if kv == 0.0:
+                continue
+            out = out + kv * jax.lax.dynamic_slice(x, (i, j), (h, w))
+    return out
 
 
 # ------------------------------------------------- nonlinear scale space

@@ -53,17 +53,19 @@ def _gauss_kernel(ksize: int, sigma: float):
 
 def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
     """Separable Gaussian blur, replicate padding (matches cv2 BORDER_REFLECT_101
-    closely enough for descriptor sampling)."""
+    closely enough for descriptor sampling).
+
+    Implemented as static-slice shift-and-fma, NOT lax.conv: a C=1 conv
+    cannot tile onto the MXU and XLA:TPU lowers it to scalar window code —
+    measured 24 ms for the 8-level pyramid vs ~1 ms for this form (the
+    whole per-frame budget is 42 ms; see tools/profile_tracking.py)."""
     k = _gauss_kernel(ksize, sigma)
     pad = ksize // 2
+    h, w = img.shape
     x = jnp.pad(img, ((pad, pad), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, :, None], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
+    x = sum(k[i] * jax.lax.dynamic_slice_in_dim(x, i, h, 0)
+            for i in range(ksize))
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, None, :], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
+    x = sum(k[i] * jax.lax.dynamic_slice_in_dim(x, i, w, 1)
+            for i in range(ksize))
     return x

@@ -154,7 +154,10 @@ def linear_alignment(
     for _ in range(2):
         r = jnp.einsum("kij,j->ki", A, x) - b                    # (K,6)
         rn = jnp.linalg.norm(r, axis=1)                          # (K,)
-        med = jnp.median(jnp.where(edge_valid, rn, jnp.nan))
+        # nanmedian: edge_valid never spans the full K capacity (chain heads /
+        # unused slots are False), so a plain median over the NaN-masked vector
+        # would itself be NaN and the robust kernel would silently disable
+        med = jnp.nanmedian(jnp.where(edge_valid, rn, jnp.nan))
         delta = 2.0 * jnp.nan_to_num(med, nan=1.0) + 1e-6
         w = jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(rn, 1e-12)))
         x = solve(A * w[:, None, None], b * w[:, None])
@@ -247,7 +250,7 @@ def inertial_init(
         # edge still sits orders of magnitude above its peers and must not
         # drag scale/gravity
         chi2 = jnp.sum(r_edges * r_edges, axis=1)
-        med = jnp.median(jnp.where(edge_valid, chi2, jnp.nan))
+        med = jnp.nanmedian(jnp.where(edge_valid, chi2, jnp.nan))
         gate = 9.0 * jnp.nan_to_num(med, nan=1e6) + 1e-6
         w_rob = jnp.sqrt(jnp.minimum(1.0, gate / jnp.maximum(chi2, 1e-12)))
         r_edges = r_edges * w_rob[:, None]

@@ -219,7 +219,7 @@ def vi_bundle_adjust(p: VIBAProblem, iters: int = 8,
     return VIBAResult(kf_T, kf_vel, kf_bg, kf_ba, lm_pos, inlier, cost0, cost)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "return_H"))
 def pose_inertial_optimization(
     cam_params: jnp.ndarray,
     Tcw0: jnp.ndarray,          # (4,4) current-frame pose init
@@ -234,12 +234,15 @@ def pose_inertial_optimization(
     Tbc: jnp.ndarray,
     g: jnp.ndarray = pre_mod.GRAVITY_W,
     iters: int = 10,
+    return_H: bool = False,
 ):
     """Motion-only VI optimization of the current frame's 15-dof state
     against fixed map points + one inertial factor to the reference frame
     (reference Optimizer::PoseInertialOptimizationLastKeyFrame,
-    src/Optimizer.cc:8606). Returns (Tcw, vel, bg, ba, inlier, n_inliers).
-    """
+    src/Optimizer.cc:8606). Returns (Tcw, vel, bg, ba, inlier, n_inliers)
+    — plus the final 15x15 information matrix when ``return_H`` (seeds the
+    marginal PoseImuPrior carried into the LastFrame variant, reference
+    ConstraintPoseImu construction at src/Optimizer.cc:8900-8950)."""
     from eorb_slam_tpu.geometry import camera as cam_mod
 
     dtype = Tcw0.dtype
@@ -295,4 +298,11 @@ def pose_inertial_optimization(
     uv_hat = cam_mod.pinhole_project_linear(cam_params, pc)
     chi2 = jnp.sum(((uv_obs - uv_hat) * inv_sigma[..., None]) ** 2, axis=-1)
     inlier = obs_valid & (pc[..., 2] > 0) & (chi2 <= robust.CHI2_MONO)
-    return Tcw, vel, bg, ba, inlier, jnp.sum(inlier.astype(jnp.int32))
+    out = (Tcw, vel, bg, ba, inlier, jnp.sum(inlier.astype(jnp.int32)))
+    if not return_H:
+        return out
+    z = jnp.zeros(15, dtype)
+    w_obs = jnp.sqrt(robust.huber_weight(chi2, robust.CHI2_MONO)) * \
+        inlier.astype(dtype)
+    J = jax.jacfwd(residuals)(z, Tcw, vel, bg, ba, w_obs)
+    return out + (J.T @ J,)

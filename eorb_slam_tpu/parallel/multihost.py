@@ -80,6 +80,14 @@ def shard_problem_global(prob, mesh):
         if spec == P():
             local = x
         else:
+            # a non-divisible landmark axis would leave tail rows owned by
+            # no process while the global shape still includes them — the
+            # caller must pad (see dist_ba.pad_problem / __graft_entry__)
+            if x.shape[0] % n_proc != 0:
+                raise ValueError(
+                    f"landmark axis {x.shape[0]} not divisible by "
+                    f"process_count {n_proc}; pad the problem first"
+                )
             chunk = x.shape[0] // n_proc
             local = x[pid * chunk : (pid + 1) * chunk]
         return jax.make_array_from_process_local_data(sh, local, x.shape)

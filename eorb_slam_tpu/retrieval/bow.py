@@ -181,13 +181,49 @@ def train_hier_vocab(desc_pm1: jnp.ndarray, K1: int = 64, K2: int = 64,
                      weights=jnp.ones(V, jnp.float32))
 
 
+def balanced_cells(sim: np.ndarray, K2: int) -> np.ndarray:
+    """Capacity-constrained cell assignment: every row of `sim` (n, K1) gets
+    a cell, no cell exceeds K2 members. Greedy rounds — each unplaced row
+    goes to its best non-full cell; overfull cells keep their K2 closest
+    rows and release the rest to the next round. Returns (n,) cell ids."""
+    n, K1 = sim.shape
+    assert K1 * K2 >= n, f"capacity {K1}*{K2} < {n} leaves"
+    cell = np.full(n, -1, np.int64)
+    full = np.zeros(K1, bool)
+    pending = np.arange(n)
+    sim = sim.copy()
+    while len(pending):
+        pick = np.argmax(np.where(full[None, :], -np.inf, sim[pending]),
+                         axis=1)
+        cell[pending] = pick
+        nxt = []
+        for c in np.unique(pick):
+            mem = np.flatnonzero(cell == c)
+            if len(mem) <= K2:
+                continue
+            # keep the K2 best-matching members, release the rest
+            order = np.argsort(-sim[mem, c])
+            drop = mem[order[K2:]]
+            cell[drop] = -1
+            full[c] = True
+            nxt.append(drop)
+        # cells exactly at capacity also stop accepting
+        counts = np.bincount(cell[cell >= 0], minlength=K1)
+        full |= counts >= K2
+        pending = np.concatenate(nxt) if nxt else np.empty(0, np.int64)
+    return cell
+
+
 def load_vocab_text_hier(path: str, K1: int = 256,
-                         max_words: int | None = None) -> HierVocab:
+                         max_words: int | None = None,
+                         overflow: float = 1.25) -> HierVocab:
     """Import DBoW2 leaf words + their trained idf weights from ORBvoc.txt
     and re-shape into the 2-level product form: coarse k-means over the
-    leaves, then each cell keeps its member leaves (padded/truncated to the
-    max cell size). Word weights follow the file (TemplatedVocabulary's
-    stored idf)."""
+    leaves, then balanced cell assignment with a FIXED fine size
+    K2 = ceil(overflow * V / K1) — one dense cluster in a skewed ORBvoc
+    can no longer blow words2 (K1,K2,256) up to the largest cell's
+    population (overfull cells spill members to their next-nearest cell).
+    Word weights follow the file (TemplatedVocabulary's stored idf)."""
     leaves, wts = [], []
     with open(path) as f:
         f.readline()
@@ -204,9 +240,10 @@ def load_vocab_text_hier(path: str, K1: int = 256,
     wts = np.asarray(wts, np.float32)
     K1 = min(K1, len(leaves))
     words1 = train_vocab(desc, K1, iters=6)
-    sim = desc.astype(jnp.float32) @ words1.astype(jnp.float32).T
-    cell = np.asarray(jnp.argmax(sim, axis=1))
-    K2 = int(np.bincount(cell, minlength=K1).max())
+    sim = np.asarray(desc.astype(jnp.float32)
+                     @ words1.astype(jnp.float32).T)
+    K2 = int(np.ceil(overflow * len(leaves) / K1))
+    cell = balanced_cells(sim, K2)
     w2 = np.zeros((K1, K2, 256), np.int8)
     wt2 = np.zeros((K1, K2), np.float32)
     leaves_np = np.stack(leaves)

@@ -32,7 +32,7 @@ from eorb_slam_tpu.event import builder as ev_builder
 from eorb_slam_tpu.geometry import lie
 from eorb_slam_tpu.ops import frontend
 from eorb_slam_tpu.optim import pose_only, schur_ba
-from eorb_slam_tpu.slam import system as slam_system
+from eorb_slam_tpu.slam import system as slam_system, tracking
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
@@ -112,6 +112,45 @@ def _joint_local_ba_step(
     ev_lm_new = ((res.lm_pos[M_im:] - tm) @ Rm) / sm
     ev_map = ev_map._replace(kf_T=ev_T_new, lm_pos=ev_lm_new)
     return im_map, ev_map, jnp.stack([res.cost0, res.cost])
+
+
+@jax.jit
+def _init_triangulate_known_poses(
+    cam_params,
+    d1, v1, xy1,      # event features at the earlier image-tracked frame
+    d2, v2, xy2,      # event features at the later image-tracked frame
+    T1, T2,           # (4,4) IMAGE-tracker poses at the two timestamps
+):
+    """Joint event-map initialization core (reference resolveEventMapInit /
+    evImReconst2ViewsSynch, src/Event/EvTrackManager.cpp:810,:819): match
+    the two event frames and triangulate with the IMAGE tracker's poses —
+    the event map is born directly in the image gauge (identity Sim3
+    bridge), instead of waiting for an independent event init + a
+    trajectory-derived gauge. Returns (m12, pts3d_world, ok, n_ok)."""
+    from eorb_slam_tpu.geometry import camera as geo_cam, triangulation
+    from eorb_slam_tpu.ops import matching
+
+    # LOOSE matching (TH_HIGH, wide window): with KNOWN poses the
+    # triangulation reprojection gate rejects wrong pairs far more reliably
+    # than a tight descriptor threshold — MCI descriptors are blurry and a
+    # TH_LOW mutual match keeps only a handful of pairs across a baseline
+    pair = matching.window_mask(xy1, xy2, 150.0)
+    m12, _ = matching.match_nnratio(
+        d1, v1, d2, v2, pair_mask=pair,
+        max_dist=matching.TH_HIGH, nn_ratio=0.9, mutual=True,
+    )
+    idx2 = jnp.where(m12 >= 0, m12, 0)
+    ray1 = geo_cam.pinhole_unproject_linear(cam_params, xy1)
+    ray2 = geo_cam.pinhole_unproject_linear(cam_params, xy2[idx2])
+    pts = triangulation.triangulate_dlt(T1[None], T2[None], ray1, ray2)
+    fx = cam_params[0]
+    ok_tri, _ = triangulation.triangulation_checks(
+        T1[None], T2[None], ray1, ray2, pts,
+        min_parallax_cos=0.9995,  # >=1.8 deg; the caller gates baseline
+        inv_sigma1=fx, inv_sigma2=fx,
+    )
+    ok = ok_tri & (m12 >= 0) & v1
+    return m12, idx2, pts, ok, jnp.sum(ok.astype(jnp.int32))
 
 
 @jax.jit
@@ -202,6 +241,14 @@ class EvImageSlam:
         self._ev_buf = np.zeros((0, 4), np.float64)
         self._last_im_ts: Optional[float] = None
         self.joint_frames = 0
+        # ORB-driven event init (reference SetInitEvFrameSynch /
+        # resolveEventMapInit): stash of (ts, event FrameInput, Tcw_image)
+        # from image-tracked frames while the event map does not exist —
+        # the event map is then triangulated directly in the image gauge
+        self._ev_stash: list = []
+        self._ev_stash_cap = 20
+        self.joint_inits = 0
+        self.gauge_reseeds = 0
         # paired per-tracker poses (ts, Tcw_im, Tcw_ev) feeding the Sim3
         # gauge bridge between the two monocular maps (the reference aligns
         # the event map with scale AND rotation — ApplyScaleAndRotationEvSynch,
@@ -235,17 +282,45 @@ class EvImageSlam:
 
         ev_res = None
         if mci is not None:
-            # seed the event tracker's motion model from the image tracker
-            # (EvSynchTracker uses the ORB pose as its prior)
-            if (
+            mci_img = jnp.asarray(mci.img * 255.0, jnp.float32)
+            im_ok = (
                 self.im.state == slam_system.OK
-                and self.ev.state == slam_system.OK
-            ):
-                self.ev.velocity = self.im.velocity
-            ev_res = self.ev.process_image(
-                jnp.asarray(mci.img * 255.0, jnp.float32), ts,
-                max_kp=self.ev_max_kp,
+                and self.im.last_frame is not None
+                and self.im.last_frame.ts == ts
             )
+            if self.ev.state == slam_system.OK:
+                # seed the event tracker's motion model from the image
+                # tracker (EvSynchTracker uses the ORB pose as its prior)
+                if im_ok:
+                    self.ev.velocity = self.im.velocity
+                ev_res = self.ev.process_image(
+                    mci_img, ts, max_kp=self.ev_max_kp,
+                )
+            elif self.ev.state == slam_system.NOT_INITIALIZED:
+                # ORB-driven joint init: the event map is triangulated with
+                # the IMAGE tracker's poses, in the image gauge (reference
+                # resolveEventMapInit, src/Event/EvTrackManager.cpp:810)
+                if im_ok:
+                    ev_res = self._try_joint_event_init(mci_img, ts)
+            else:
+                # event tracker lost but the image tracker is healthy:
+                # re-anchor the event pose through the gauge and retry —
+                # the synch tracker is SLAVED to the ORB pose (reference
+                # EvSynchTracker prior seeding), it never free-runs reloc
+                if im_ok and self._last_gauge is not None:
+                    s, R_ie, t_ie = self._last_gauge
+                    Ti = np.asarray(self.im.T_last)
+                    Te = np.eye(4, dtype=np.float32)
+                    Te[:3, :3] = Ti[:3, :3] @ R_ie
+                    Te[:3, 3] = (Ti[:3, :3] @ t_ie + Ti[:3, 3]) / s
+                    self.ev.T_last = jnp.asarray(Te)
+                    self.ev.velocity = jnp.eye(4)
+                    self.ev.state = slam_system.OK
+                    self.ev.lost_frames = 0
+                    self.gauge_reseeds += 1
+                    ev_res = self.ev.process_image(
+                        mci_img, ts, max_kp=self.ev_max_kp,
+                    )
 
         joint = self._joint_refine(ts)
         # joint event+image local BA on image-KF insertions (the reference
@@ -261,6 +336,115 @@ class EvImageSlam:
             self._run_joint_ba()
         self._last_im_ts = ts
         return {"image": im_res, "event": ev_res, "joint": joint}
+
+    def _try_joint_event_init(self, mci_img, ts: float):
+        """Initialize the event map FROM the image tracker (the reference's
+        SetInitEvFrameSynch + evImReconst2ViewsSynch + resolveEventMapInit,
+        src/Event/EvSynchTrackerU.cpp:127-140, src/Event/EvTrackManager.cpp:
+        810-819): stash event frames at image-tracked timestamps; once two
+        stashed frames have image-pose baseline, match + triangulate with
+        those poses, seed the event map in the IMAGE gauge, and run one
+        JOINT init BA over both observation sets. The Sim3 bridge starts at
+        identity instead of waiting for trajectory-derived estimation."""
+        from eorb_slam_tpu.geometry import camera as geo_cam
+        from eorb_slam_tpu.slam import map_state as ms_mod
+        from eorb_slam_tpu.slam.system import FrameInput
+
+        feats = frontend.extract(mci_img, max_kp=self.ev.map.N)
+        xy_ud = geo_cam.undistort_points(self.cam, feats.xy)
+        f = FrameInput(ts, xy_ud, feats.octave, feats.angle,
+                       feats.desc_pm1, feats.valid)
+        Ti = np.asarray(self.im.T_last)
+        self._ev_stash.append((ts, f, Ti))
+        self._ev_stash = self._ev_stash[-self._ev_stash_cap:]
+        if len(self._ev_stash) < 2:
+            return {"state": self.ev.state, "joint_init": False}
+
+        # partner candidates: NEWEST stashed frames first (closest in
+        # appearance to the current MCI) with real image-pose baseline —
+        # the image map is median-depth-normalized, so 0.05 map units is
+        # ~3 deg of parallax at the median depth. Try a few, keep the best.
+        C_cur = -Ti[:3, :3].T @ Ti[:3, 3]
+        cands = []
+        for ts0, f0, T0 in reversed(self._ev_stash[:-1]):
+            C0 = -T0[:3, :3].T @ T0[:3, 3]
+            if np.linalg.norm(C0 - C_cur) >= 0.05:
+                cands.append((ts0, f0, T0))
+            if len(cands) >= 3:
+                break
+        if not cands:
+            return {"state": self.ev.state, "joint_init": False}
+
+        best = None
+        for ts0, f0, T0 in cands:
+            m12, idx2, pts, ok, n = _init_triangulate_known_poses(
+                self.cam, f0.desc_pm1, f0.valid, f0.xy_ud,
+                f.desc_pm1, f.valid, f.xy_ud,
+                jnp.asarray(T0, jnp.float32), jnp.asarray(Ti, jnp.float32),
+            )
+            n = int(n)
+            if best is None or n > best[0]:
+                best = (n, ts0, f0, T0, idx2, pts, ok)
+        n, ts0, f0, T0, idx2, pts, ok = best
+        # the poses are KNOWN here (image tracker), so far fewer points
+        # than a blind two-view init needs are enough to seed the map
+        if n < max(10, self.ev.min_init_triangulated // 2):
+            return {"state": self.ev.state, "joint_init": False, "n": n}
+
+        ev = self.ev
+        N = ev.map.N
+        feat_ids = jnp.arange(N, dtype=jnp.int32)
+        m = ev.map
+        m = ms_mod.insert_keyframe(
+            m, jnp.asarray(0), jnp.asarray(T0, jnp.float32), ts0,
+            f0.xy_ud, f0.octave, f0.angle, f0.desc_pm1, f0.valid,
+            jnp.full(N, -1, jnp.int32),
+        )
+        m = ms_mod.insert_keyframe(
+            m, jnp.asarray(1), jnp.asarray(Ti, jnp.float32), ts,
+            f.xy_ud, f.octave, f.angle, f.desc_pm1, f.valid,
+            jnp.full(N, -1, jnp.int32),
+        )
+        m, _ = ms_mod.alloc_landmarks(
+            m, pts, f0.desc_pm1, ok, jnp.asarray(0), feat_ids,
+            jnp.asarray(1), idx2,
+        )
+        ev.map = m
+        ev.n_kf = 2
+
+        # joint init BA: image gauge pinned, event KF1 + all landmarks free
+        kf_free_ev = np.zeros(ev.map.K, bool)
+        kf_free_ev[1] = True
+        self.im.map, self.ev.map, _ = _joint_local_ba_step(
+            self.im.map, self.ev.map, self.cam,
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+            jnp.asarray(1.0, jnp.float32),
+            jnp.asarray(np.zeros(self.im.map.K, bool)),
+            jnp.asarray(kf_free_ev),
+        )
+
+        ev.state = slam_system.OK
+        ev.T_last = ev.map.kf_T[1]
+        ev.velocity = jnp.eye(4)
+        ev.frames_since_kf = 0
+        ev.n_inliers_ref = n
+        ev._last_kf_ts = ts
+        ev.last_frame = f
+        ev._log_pose(ts, ev.T_last)
+        ev.stats["kf"] = 2
+        ev.stats["lm"] = int(np.asarray(ev.map.lm_valid).sum())
+        if ev.loop_closer is not None:
+            ev.loop_closer.add_keyframe(ev.map, 0)
+            ev.loop_closer.add_keyframe(ev.map, 1)
+
+        # the bridge is identity BY CONSTRUCTION
+        self._last_gauge = (1.0, np.eye(3), np.zeros(3))
+        self._gauge_pairs = [
+            (ts0, T0, T0.copy()), (ts, Ti, Ti.copy()),
+        ]
+        self._ev_stash.clear()
+        self.joint_inits += 1
+        return {"state": ev.state, "joint_init": True, "n": n}
 
     def _run_joint_ba(self):
         s, R_ie, t_ie = self._last_gauge
@@ -368,10 +552,17 @@ class EvImageSlam:
         )
         gauge = self._estimate_gauge()
         if gauge is None:
-            self._last_gauge = None
-            return None
-        s, R_ie, t_ie, resid = gauge
-        self._last_gauge = (s, R_ie, t_ie)
+            # under-constrained estimate: KEEP the previous bridge (after a
+            # joint init it is identity BY CONSTRUCTION and must not be
+            # discarded for lack of baseline; drift between the maps is
+            # absorbed by the joint BA, not by re-estimating every frame)
+            if self._last_gauge is None:
+                return None
+            s, R_ie, t_ie = self._last_gauge
+            resid = -1.0
+        else:
+            s, R_ie, t_ie, resid = gauge
+            self._last_gauge = (s, R_ie, t_ie)
 
         # ONE dispatch for the joint solve + ONE packed flags pull (the
         # eager gather/concat/solve path was ~10 round trips per frame on
@@ -434,4 +625,6 @@ class EvImageSlam:
             "ev": dict(self.ev.stats),
             "joint_frames": self.joint_frames,
             "joint_bas": self.joint_bas,
+            "joint_inits": self.joint_inits,
+            "gauge_reseeds": self.gauge_reseeds,
         }

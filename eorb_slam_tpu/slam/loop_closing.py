@@ -68,6 +68,15 @@ class LoopCloser:
         # cannot trigger a (map-destroying) false correction
         self.consistency_required = int(consistency_required)
         self._chains: list[tuple[set, int]] = []
+        # post-correction cooldown (reference CorrectLoop gate
+        # `mpCurrentKF->mnId < mnLastLoopKFid + 10`, src/LoopClosing.cc):
+        # right after a weld the detector re-retrieves the same region for
+        # several keyframes; without the gate corrections re-fire
+        # continuously (measured 27 loops in 60 s on room_01, round 3)
+        self.cooldown_kfs = 10
+        self._kf_count = 0
+        self._last_loop_kfc = -(1 << 30)
+        self.last_fuse_count = 0
 
     # -------------------------------------------------- vocabulary dispatch
 
@@ -92,6 +101,7 @@ class LoopCloser:
         return bow.detect_candidates(db, q, exclude_mask, top_k=top_k)
 
     def add_keyframe(self, m: ms.MapState, slot: int) -> None:
+        self._kf_count += 1
         if self.hier:
             wid, w = bow.quantize_hier(
                 m.kf_desc_pm1[slot], m.kf_feat_valid[slot], self.words)
@@ -174,8 +184,20 @@ class LoopCloser:
                        else np.flatnonzero(kf_valid))
         for a, b in zip(valid_slots[:-1], valid_slots[1:]):
             ei.append(a); ej.append(b); ew.append(1.0)
+        # strong covisibility edges, STRONGEST first — when the fixed edge
+        # capacity truncates, the weakest constraints are the ones dropped
+        # (and the drop is logged, not silent)
         strong = np.argwhere(np.triu(C, 1) >= 100)
-        for a, b in strong[: self.max_edges - len(ei) - 1]:
+        if len(strong):
+            strengths = C[strong[:, 0], strong[:, 1]]
+            strong = strong[np.argsort(-strengths)]
+        room = self.max_edges - len(ei) - 1
+        if len(strong) > room:
+            from ..utils.logging import get_logger
+            get_logger("eorb.loop").warning(
+                "essential graph: dropping %d weakest covisibility edges "
+                "(capacity %d)", len(strong) - room, self.max_edges)
+        for a, b in strong[:room]:
             ei.append(a); ej.append(b); ew.append(1.0)
         E = self.max_edges
         edge_i = np.zeros(E, np.int32)
@@ -214,6 +236,29 @@ class LoopCloser:
         T_new = jnp.where(m.kf_valid[:, None, None], T_new, m.kf_T)
         m = m._replace(kf_T=T_new, lm_pos=lm_new)
 
+        # SearchAndFuse across the weld (reference LoopClosing::CorrectLoop
+        # -> SearchAndFuse, src/LoopClosing.cc:1267 + ORBmatcher::Fuse with
+        # the corrected Scw, src/ORBmatcher.cc:480): under the corrected
+        # poses the loop just revealed duplicated structure — project each
+        # side's landmarks into the other side's keyframes and merge.
+        # Without this the duplicate landmarks keep the two sides of the
+        # weld apart and detection immediately re-fires.
+        n_fused = 0
+        q_group = [query] + [int(s) for s in
+                             np.argsort(-C[query])[:2] if C[query][s] >= 15]
+        c_group = [cand] + [int(s) for s in
+                            np.argsort(-C[cand])[:2] if C[cand][s] >= 15]
+        for a in q_group:
+            for b in c_group:
+                if a == b:
+                    continue
+                m, nf = local_mapping.fuse_duplicates(
+                    m, self.cam, jnp.asarray(a), jnp.asarray(b),
+                    search_px=6.0,
+                )
+                n_fused += int(nf)
+        self.last_fuse_count = n_fused
+
         if run_gba:
             m, _, _ = local_mapping.local_ba(
                 m, self.cam,
@@ -237,6 +282,8 @@ class LoopCloser:
 
     def detect_and_correct(self, m: ms.MapState, query: int,
                            run_gba: bool = True, order=None):
+        if self._kf_count - self._last_loop_kfc < self.cooldown_kfs:
+            return m, LoopInfo(False, query, -1, 0, 1.0)
         cand, score = self.detect(m, query)
         if cand is None:
             self._chains = []
@@ -249,4 +296,5 @@ class LoopCloser:
             return m, LoopInfo(False, query, cand, n_inl, 1.0)
         self._chains = []
         m = self.correct(m, query, cand, res, run_gba=run_gba, order=order)
+        self._last_loop_kfc = self._kf_count
         return m, LoopInfo(True, query, cand, n_inl, float(res.s))

@@ -231,15 +231,22 @@ class MonoSlam:
         order = self._kf_order
         if not force and not self.cull_enabled:
             return None
-        if len(order) <= max(self.kf_protect_recent + 1, 3):
+        if not force and len(order) <= max(self.kf_protect_recent + 1, 3):
             return None
         frac, total = map_state.keyframe_redundancy(self.map)
         frac = np.asarray(frac)
         total = np.asarray(total)
-        # candidates: all but the origin KF and the most recent ones
-        cand = order[1 : len(order) - self.kf_protect_recent]
+        # candidates: all but the origin KF and the most recent ones; under
+        # force (map at capacity, K small vs kf_protect_recent) shrink the
+        # protected window so a slot is ALWAYS freeable
+        protect = self.kf_protect_recent
+        if force:
+            protect = min(protect, max(len(order) - 2, 0))
+        cand = order[1 : len(order) - protect]
         if not cand:
-            return None
+            if not force:
+                return None
+            cand = order[1:] or order[:1]
         scores = [(frac[s], s) for s in cand]
         best_frac, best_slot = max(scores)
         redundant = best_frac >= self.cull_redundancy or total[best_slot] == 0
@@ -386,11 +393,14 @@ class MonoSlam:
         lmv = np.asarray(self.map.lm_valid)
         depths = np.asarray(self.map.lm_pos)[lmv, 2]
         s2 = 1.0 / max(float(np.median(depths)), 1e-6)
-        T1b = np.array(self.map.kf_T[1])
-        T1b[:3, 3] *= s2
+        # rescale EVERY active KF translation (not just slot 1): init
+        # normally runs on a fresh 2-KF map, but a merge-triggered re-init
+        # can carry more history and a partial rescale would shear the map
+        kf_T2 = np.array(self.map.kf_T)
+        kf_T2[:, :3, 3] *= s2
         self.map = self.map._replace(
             lm_pos=self.map.lm_pos * s2,
-            kf_T=self.map.kf_T.at[1].set(jnp.asarray(T1b)),
+            kf_T=jnp.asarray(kf_T2),
         )
 
         self.state = OK
@@ -467,6 +477,9 @@ class MonoSlam:
         out = {"state": self.state, "n_inliers": n_inl, "kf": False}
         if need_kf:
             self._insert_keyframe(f, res)
+            # n_lm lags one keyframe by design: the mapping-step stats stay
+            # on device until the next drain so tracking never blocks on the
+            # in-flight BA (see _drain_mapping / _pending_map_stats)
             out.update(kf=True, n_lm=self.stats["lm"])
         return out
 

@@ -18,14 +18,15 @@ reference's Reintegrate-on-bias-update becomes unnecessary.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from eorb_slam_tpu.geometry import lie
+from eorb_slam_tpu.geometry import camera as cam_mod, lie
 from eorb_slam_tpu.imu import preintegration as pre_mod
-from eorb_slam_tpu.optim import inertial, vi_ba
+from eorb_slam_tpu.optim import inertial, marginalize, vi_ba
 from eorb_slam_tpu.slam import local_mapping, map_state, tracking
 from eorb_slam_tpu.slam.system import (
     LOST, NOT_INITIALIZED, OK, RECENTLY_LOST, FrameInput, MonoSlam,
@@ -85,6 +86,118 @@ def _visual_velocity(T_prev, T_cur, dt, vel_fallback, Tbc):
     return jnp.where(dt > 1e-4, v, vel_fallback)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_kp", "img_w", "img_h", "use_prior"),
+)
+def _vi_frame_step(
+    img: jnp.ndarray,           # (H,W) uint8
+    cam_params: jnp.ndarray,
+    m: map_state.MapState,
+    gyro: jnp.ndarray,          # (S,3) padded IMU window since last frame
+    acc: jnp.ndarray,           # (S,3)
+    dts: jnp.ndarray,           # (S,)
+    imu_ok: jnp.ndarray,        # (S,) bool
+    T_last: jnp.ndarray,        # (4,4) last frame pose
+    vel: jnp.ndarray, bg: jnp.ndarray, ba: jnp.ndarray,
+    pre_since_kf: pre_mod.Preintegrated,   # KF -> last frame window
+    T_kf: jnp.ndarray, vel_kf: jnp.ndarray,
+    prior: marginalize.PoseImuPrior,
+    ref_T: jnp.ndarray,         # (4,4) trajectory reference KF pose
+    calib: pre_mod.ImuCalib,
+    min_inl_retry: jnp.ndarray,  # () int32 — wide re-search threshold
+    max_kp: int = 512, img_w: int = 752, img_h: int = 480,
+    use_prior: bool = False,
+):
+    """The ENTIRE inertial per-frame step as ONE dispatch: preintegrate the
+    inter-frame IMU window -> PredictStateIMU -> ORB extraction ->
+    projection matching (with a wide re-search fallback under lax.cond) ->
+    motion-only visual-inertial optimization -> packed host flags.
+
+    Round-3 measurements: the unfused chain (separate integrate / predict /
+    extract / track / retry / VI-opt dispatches + host pulls) cost
+    1152-1524 ms/frame on the tunneled TPU vs ~300-420 for the fused mono
+    path — the gap was pure dispatch/RTT overhead, not compute.
+
+    ``use_prior`` selects the reference's per-frame optimizer alternation
+    (src/Tracking.cc:1959-1984): False = PoseInertialOptimizationLastKeyFrame
+    (src/Optimizer.cc:8606) against (T_kf, vel_kf) over the accumulated
+    KF->frame window; True = PoseInertialOptimizationLastFrame
+    (src/Optimizer.cc:9006) against the marginal PoseImuPrior carried from
+    the previous frame over the frame->frame window. Both emit the next
+    frame's prior (ConstraintPoseImu, include/G2oTypes.h:600).
+
+    Returns (res, feats, xy_ud, flags, vel_mm, T_rel, T_pred,
+    pre_frame, pre_since_kf_new, vel_out, bg_out, ba_out, next_prior).
+    """
+    from eorb_slam_tpu.ops import frontend
+
+    # 1. preintegrate the inter-frame window (zero-bias integration; bias
+    # enters through the stored Jacobians at every use site)
+    pre = pre_mod.integrate(
+        gyro, acc, dts, imu_ok, jnp.zeros(3), jnp.zeros(3), calib
+    )
+    pre_since2 = pre_mod.merge(pre_since_kf, pre)
+
+    # 2. PredictStateIMU
+    Twb = pre_mod.Twb_from_Tcw(T_last, calib.Tbc)
+    R2, p2, v2 = pre_mod.predict_state(
+        Twb[:3, :3], Twb[:3, 3], vel, pre, bg, ba
+    )
+    Twb2 = jnp.eye(4).at[:3, :3].set(R2).at[:3, 3].set(p2)
+    T_pred = pre_mod.Tcw_from_Twb(Twb2, calib.Tbc)
+
+    # 3. extraction + projection tracking
+    feats = frontend.extract(img, max_kp=max_kp)
+    xy_ud = cam_mod.undistort_points(cam_params, feats.xy)
+    res0 = tracking.track_frame(
+        m, cam_params, xy_ud, feats.octave, feats.desc_pm1, feats.valid,
+        T_pred, img_w=img_w, img_h=img_h,
+    )
+    res = jax.lax.cond(
+        res0.n_inliers < min_inl_retry,
+        lambda: tracking.track_frame(
+            m, cam_params, xy_ud, feats.octave, feats.desc_pm1, feats.valid,
+            T_pred, img_w=img_w, img_h=img_h,
+            search_radius=40.0, nn_ratio=0.95,
+        ),
+        lambda: res0,
+    )
+
+    # 4. motion-only VI optimization
+    matched = res.feat_lm >= 0
+    pts_w = m.lm_pos[jnp.where(matched, res.feat_lm, 0)]
+    inv_sigma = frontend.inv_sigma(feats.octave)
+    if use_prior:
+        Tcw, vel_o, bg_o, ba_o, inlier, n_vi, next_prior = \
+            marginalize.pose_inertial_optimization_last_frame(
+                cam_params, res.Tcw, v2, bg, ba,
+                pts_w, xy_ud, inv_sigma, matched,
+                prior, pre, calib.Tbc,
+            )
+    else:
+        Tcw, vel_o, bg_o, ba_o, inlier, n_vi, H = \
+            vi_ba.pose_inertial_optimization(
+                cam_params, res.Tcw, v2, bg, ba,
+                pts_w, xy_ud, inv_sigma, matched,
+                T_kf, vel_kf, pre_since2, calib.Tbc,
+                return_H=True,
+            )
+        next_prior = marginalize.PoseImuPrior(Tcw, vel_o, bg_o, ba_o, H)
+
+    feat_lm = jnp.where(inlier, res.feat_lm, -1)
+    res = res._replace(Tcw=Tcw, feat_lm=feat_lm, inlier=inlier,
+                       n_inliers=n_vi)
+    flags = jnp.stack([
+        n_vi.astype(jnp.float32),
+        jnp.isfinite(Tcw).all().astype(jnp.float32),
+    ])
+    vel_mm = Tcw @ lie.se3_inv(T_last)
+    T_rel = Tcw @ lie.se3_inv(ref_T)
+    return (res, feats, xy_ud, flags, vel_mm, T_rel, T_pred,
+            pre, pre_since2, vel_o, bg_o, ba_o, next_prior)
+
+
 class MonoInertialSlam(MonoSlam):
     """Monocular + IMU pipeline (config 2 of BASELINE.json)."""
 
@@ -119,6 +232,11 @@ class MonoInertialSlam(MonoSlam):
         self.vel = jnp.zeros(3, jnp.float32)       # current body velocity
         self.pre_since_kf = pre_mod.identity_preintegrated()
         self.pre_last_frame = pre_mod.identity_preintegrated()
+        # marginal prior on the last frame's 15-dof state (ConstraintPoseImu
+        # carried between frames); None = map updated since the last frame
+        # -> next frame optimizes against the last KEYFRAME instead
+        # (reference mbMapUpdated alternation, src/Tracking.cc:1959-1984)
+        self._prior = None
         self.scale_applied = 1.0
         self._last_refine_s = 1.0
         # stereo/RGB-D inertial variants fix the (already metric) scale
@@ -126,6 +244,97 @@ class MonoInertialSlam(MonoSlam):
         self._imu_fix_scale = False
 
     # ---------------------------------------------------------------- input
+
+    def process_image_imu(self, img, ts: float, imu: ImuChunk,
+                          max_kp: int | None = None):
+        """One camera frame + its IMU window from a RAW image: when the
+        filter is initialized and tracking, the whole step runs as ONE
+        fused dispatch (_vi_frame_step); otherwise falls back to separate
+        extraction + the staged init path."""
+        if not (self.imu_initialized and self.state == OK):
+            from eorb_slam_tpu.ops import frontend
+
+            feats = frontend.extract(jnp.asarray(img),
+                                     max_kp=max_kp or self.map.N)
+            xy_ud = cam_mod.undistort_points(self.cam, feats.xy)
+            return self.process_features_imu(
+                FrameInput(ts, xy_ud, feats.octave, feats.angle,
+                           feats.desc_pm1, feats.valid), imu)
+
+        self.stats["frames"] += 1
+        # pad the IMU window to a power-of-two bucket: a stable trace per
+        # bucket instead of a re-trace per sample count
+        S = int(imu.gyro.shape[0])
+        cap = 8
+        while cap < S:
+            cap *= 2
+        gyro = np.zeros((cap, 3), np.float32)
+        acc = np.zeros((cap, 3), np.float32)
+        dts = np.zeros(cap, np.float32)
+        ok = np.zeros(cap, bool)
+        gyro[:S] = imu.gyro; acc[:S] = imu.acc; dts[:S] = imu.dts
+        ok[:S] = True
+
+        last = self._kf_order[-1]
+        ref = self._kf_ref()
+        use_prior = self._prior is not None
+        prior = self._prior if use_prior else marginalize.PoseImuPrior(
+            jnp.eye(4), jnp.zeros(3), jnp.zeros(3), jnp.zeros(3),
+            jnp.zeros((15, 15)),
+        )
+        (res, feats, xy_ud, flags, vel_mm, T_rel, T_pred, pre, pre_since2,
+         vel_o, bg_o, ba_o, next_prior) = _vi_frame_step(
+            jnp.asarray(img), self.cam, self.map,
+            jnp.asarray(gyro), jnp.asarray(acc), jnp.asarray(dts),
+            jnp.asarray(ok),
+            self.T_last, self.vel, self.bg, self.ba,
+            self.pre_since_kf, self.map.kf_T[last], self.kf_vel[last],
+            prior, self.map.kf_T[ref], self.calib,
+            jnp.asarray(self.min_track_inliers, jnp.int32),
+            max_kp=max_kp or self.map.N,
+            img_w=self.img_w, img_h=self.img_h,
+            use_prior=use_prior,
+        )
+        f = FrameInput(ts, xy_ud, feats.octave, feats.angle,
+                       feats.desc_pm1, feats.valid)
+        self.last_frame = f
+        # the IMU window is consumed regardless of tracking outcome
+        # (dead-reckoning and the next KF factor both need it)
+        self.pre_last_frame = pre
+        self.pre_since_kf = pre_since2
+        self._T_pred = T_pred
+
+        n_inl, finite = (float(x) for x in np.asarray(flags))
+        n_inl = int(n_inl)
+        if not finite:
+            self._prior = None
+            return self._handle_lost(f, 0)
+        if n_inl < max(6, self.min_track_inliers // 2):
+            self._prior = None
+            return self._handle_lost(f, n_inl)
+
+        self.last_track = res
+        self.lost_frames = 0
+        self.state = OK
+        self.velocity = vel_mm
+        self.T_last = res.Tcw
+        self.vel = vel_o
+        self.bg = bg_o
+        self.ba = ba_o
+        self._prior = next_prior
+        self.frames_since_kf += 1
+        self.trajectory.append((ts, T_rel, ref))
+
+        need_kf = (
+            n_inl < self.kf_inlier_ratio * max(self.n_inliers_ref, 1)
+            or self.frames_since_kf >= self.max_frames_between_kf
+            or self._need_kf_extra(f)
+        )
+        out = {"state": self.state, "n_inliers": n_inl, "kf": False}
+        if need_kf:
+            self._insert_keyframe(f, res)
+            out.update(kf=True, n_lm=self.stats["lm"])
+        return out
 
     def process_features_imu(self, f: FrameInput, imu: ImuChunk):
         """One frame with the IMU samples since the previous frame."""
@@ -245,6 +454,8 @@ class MonoInertialSlam(MonoSlam):
         out = {"state": self.state, "n_inliers": n_inl, "kf": False}
         if need_kf:
             self._insert_keyframe(f, res)
+            # n_lm lags one keyframe by design (deferred _drain_mapping —
+            # tracking never blocks on the in-flight mapping dispatch)
             out.update(kf=True, n_lm=self.stats["lm"])
         return out
 
@@ -252,6 +463,7 @@ class MonoInertialSlam(MonoSlam):
         """Inertial RECENTLY_LOST: dead-reckon on the IMU prediction through
         the dropout instead of freezing (reference PredictStateIMU branch,
         src/Tracking.cc:928) — then fall back to the visual recovery path."""
+        self._prior = None
         if (self.imu_initialized and self.lost_frames < self.lost_grace
                 and getattr(self, "_T_pred", None) is not None):
             self.stats["lost"] += 1
@@ -274,6 +486,8 @@ class MonoInertialSlam(MonoSlam):
         prev_slot = self._kf_order[-1] if self._kf_order else -1
         pre_window = self.pre_since_kf
         super()._insert_keyframe(f, res)  # allocates slot, runs local BA
+        # map updated -> next frame re-anchors on the keyframe state
+        self._prior = None
         slot = self.last_kf_slot
 
         self.pre_kf, self.kf_vel, self.kf_bg, self.kf_ba = \

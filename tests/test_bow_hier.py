@@ -123,3 +123,105 @@ def test_loopcloser_with_hier_vocab_smoke():
     assert slam.stats["kf"] >= 4
     assert slam.loops_closed == 0  # consistent forward path: no false loop
     assert bool(np.asarray(slam.loop_closer.db.valid).sum()) 
+
+
+def test_balanced_cells_skewed():
+    """One dense cluster must not blow the fine codebook: balanced_cells
+    caps every cell at K2 and spills overflow to next-nearest cells."""
+    rng = np.random.default_rng(1)
+    sim = rng.normal(0, 1, (5000, 32)).astype(np.float32)
+    sim[:4500, 7] += 50.0  # 90% of leaves nearest one centroid
+    K2 = 250  # 1.6x average load
+    cell = bow.balanced_cells(sim, K2)
+    counts = np.bincount(cell, minlength=32)
+    assert counts.max() <= K2
+    assert (cell >= 0).all()
+    assert counts.sum() == 5000
+
+
+def test_load_vocab_text_hier_caps_k2(tmp_path):
+    """ORBvoc.txt import with a SKEWED leaf population: K2 is bounded by
+    the overflow factor, not the largest cell (ADVICE r3: a 1M-leaf vocab
+    with one dense cluster would otherwise make words2 multi-GB)."""
+    rng = np.random.default_rng(2)
+    n = 2000
+    # skew: half the leaves share 200 nearly-identical patterns
+    base = rng.integers(0, 2, (200, 32), dtype=np.uint8) * 255
+    rows = []
+    for i in range(n):
+        if i < n // 2:
+            by = base[i % 200]
+        else:
+            by = rng.integers(0, 256, 32, dtype=np.uint8)
+        w = rng.uniform(0.1, 1.0)
+        rows.append("0 1 " + " ".join(str(int(b)) for b in by) + f" {w:.4f}")
+    path = tmp_path / "voc.txt"
+    path.write_text("10 6 0 0\n" + "\n".join(rows) + "\n")
+
+    voc = bow.load_vocab_text_hier(str(path), K1=16)
+    import math
+    assert voc.K2 <= math.ceil(1.25 * n / 16)
+    assert voc.V >= n  # capacity covers every leaf
+    # every leaf present exactly once: total nonzero weight slots == n
+    assert int((np.asarray(voc.weights) > 0).sum()) == n
+
+
+def test_vocab_scale_retrieval_100k():
+    """Retrieval at REAL vocabulary scale (V ~= 1e5, the ORBvoc regime):
+    build a 100k-word 2-level vocab from random binary words, index
+    keyframes through the sparse database, and verify (a) the database +
+    vocab stay under the 100 MB budget, (b) a noisy revisit of an indexed
+    frame retrieves the right keyframe, (c) quantization is exact-nearest
+    for the clean copies of vocabulary words."""
+    import pytest
+    pytest.importorskip("jax")
+
+    K1, K2 = 256, 392  # ~100k words
+    rng = np.random.default_rng(3)
+    words1 = (rng.integers(0, 2, (K1, 256)).astype(np.int8) * 2 - 1)
+    # fine words cluster around their coarse centroid (40-bit flips), as a
+    # trained tree guarantees — otherwise the coarse level cannot route
+    words2 = np.repeat(words1[:, None, :], K2, axis=1).copy()
+    for c in range(K1):
+        flips = rng.integers(0, 256, (K2, 40))
+        for j in range(K2):
+            words2[c, j, flips[j]] *= -1
+    voc = bow.HierVocab(
+        words1=jnp.asarray(words1), words2=jnp.asarray(words2),
+        weights=jnp.ones(K1 * K2, jnp.float32),
+    )
+    assert voc.V == K1 * K2 >= 100_000
+    mem = sum(np.asarray(x).nbytes for x in voc)
+    db = bow.empty_sparse_database(64, 256)
+    mem_db = sum(np.asarray(x).nbytes for x in db)
+    assert mem + mem_db < 100e6
+
+    # keyframes: each samples 256 vocabulary words (cell c gets word
+    # words2[c, j]); noisy queries flip 10 bits/descriptor
+    def kf_descs(seed):
+        r = np.random.default_rng(seed)
+        c = r.integers(0, K1, 256)
+        j = r.integers(0, K2, 256)
+        return jnp.asarray(words2[c, j]), c * K2 + j
+
+    n_kf = 8
+    descs = []
+    for k in range(n_kf):
+        d, wid_true = kf_descs(100 + k)
+        descs.append((d, wid_true))
+        wid, w = bow.quantize_hier(d, jnp.ones(256, bool), voc)
+        if k == 0:
+            # clean copies of vocabulary words quantize to themselves
+            assert (np.asarray(wid) == wid_true).mean() > 0.95
+        db = bow.sparse_add_keyframe(db, k, wid, w)
+
+    hits = 0
+    for k in range(n_kf):
+        noisy = _noisy(descs[k][0], flips=10, seed=200 + k)
+        wid, w = bow.quantize_hier(noisy, jnp.ones(256, bool), voc)
+        q = bow.sparse_bow_row(wid, w)
+        scores, idx = bow.sparse_detect_candidates(
+            db, q[0], q[1], jnp.zeros(64, bool), top_k=1)
+        if int(np.asarray(idx)[0]) == k:
+            hits += 1
+    assert hits >= n_kf - 1  # near-perfect revisit retrieval at 100k words

@@ -341,3 +341,74 @@ class TestNativeEventQueue:
         np.testing.assert_array_equal(b._consume(100), ev[:100])
         b._inject_front(ev[:50])
         assert b.pending_events() == 250
+
+
+# ------------------------------------------------------------------- mvsec
+
+
+def test_mvsec_hdf5_loader(tmp_path):
+    """Native MVSEC HDF5 pair: events with (x,y,t,p) column order (the
+    release format), images, IMU, and 4x4 GT poses — the loader must detect
+    the time column, normalize events to (t,x,y,p), split the imu block
+    into (gyro, acc), and convert GT to TUM (tx..qw) rows."""
+    h5py = pytest.importorskip("h5py")
+
+    rng = np.random.default_rng(0)
+    Ne, F, G = 2000, 6, 10
+    t_ev = np.sort(rng.uniform(100.0, 101.0, Ne))
+    x = rng.integers(0, 346, Ne).astype(np.float64)
+    y = rng.integers(0, 260, Ne).astype(np.float64)
+    p = rng.choice([-1.0, 1.0], Ne)
+    events_xy_tp = np.stack([x, y, t_ev, p], axis=1)  # MVSEC column order
+
+    imgs = rng.integers(0, 255, (F, 16, 20)).astype(np.uint8)
+    img_ts = np.linspace(100.0, 101.0, F)
+    imu = rng.normal(0, 1, (50, 6))
+    imu_ts = np.linspace(100.0, 101.0, 50)
+
+    with h5py.File(tmp_path / "seqA_data.hdf5", "w") as f:
+        g = f.create_group("davis/left")
+        g["events"] = events_xy_tp
+        g["image_raw"] = imgs
+        g["image_raw_ts"] = img_ts
+        g["imu"] = imu
+        g["imu_ts"] = imu_ts
+    with h5py.File(tmp_path / "seqA_gt.hdf5", "w") as f:
+        g = f.create_group("davis/left")
+        Ts = np.tile(np.eye(4), (G, 1, 1))
+        Ts[:, 0, 3] = np.arange(G) * 0.1
+        g["pose"] = Ts
+        g["pose_ts"] = np.linspace(100.0, 101.0, G)
+
+    seq = datasets.load_mvsec(str(tmp_path), "seqA")
+    # events normalized to internal (t, x, y, p), time monotone
+    ev = seq.events.events
+    assert (np.diff(ev[:, 0]) >= 0).all()
+    np.testing.assert_allclose(ev[:, 0], t_ev)
+    np.testing.assert_allclose(ev[:, 1], x)
+    np.testing.assert_allclose(ev[:, 2], y)
+    assert set(np.unique(ev[:, 3])) <= {-1.0, 1.0}
+    # images served from memory as float [0,1]
+    assert seq.n_frames == F
+    im0 = seq.image(0)
+    assert im0.shape == (16, 20) and 0.0 <= im0.min() and im0.max() <= 1.0
+    # imu split: acc = cols 0:3, gyro = cols 3:6
+    np.testing.assert_allclose(seq.imu.acc, imu[:, 0:3].astype(np.float32))
+    np.testing.assert_allclose(seq.imu.gyro, imu[:, 3:6].astype(np.float32))
+    # GT converted to (tx ty tz qx qy qz qw), identity rotation
+    assert seq.gt_pose.shape == (G, 7)
+    np.testing.assert_allclose(seq.gt_pose[:, 0], np.arange(G) * 0.1)
+    np.testing.assert_allclose(np.abs(seq.gt_pose[:, 6]), 1.0, atol=1e-6)
+
+
+def test_mvsec_txt_fallback(tmp_path):
+    """An events.txt export routes through the EV-ETHZ loader unchanged."""
+    seq_dir = tmp_path / "seqB"
+    os.makedirs(seq_dir)
+    with open(seq_dir / "events.txt", "w") as f:
+        for i in range(64):
+            f.write(f"{100.0 + i * 1e-3:.6f} {i % 16} {i % 12} {i % 2}\n")
+    with open(seq_dir / "images.txt", "w") as f:
+        pass
+    seq = datasets.load_mvsec(str(tmp_path), "seqB")
+    assert len(seq.events) == 64
