@@ -190,7 +190,20 @@ def time_tracking(device, reps=20):
         Tcw, n = frame_chain(img_d, m_d, T0)
         int(n)  # the per-frame host decision pull (state machine)
     dt = (time.perf_counter() - t0) / reps
-    return 1.0 / dt
+
+    # pipelined variant (MonoSlam(pipelined=True), the run_slam default):
+    # the decision pull for frame i overlaps frame i+1's dispatch, so the
+    # tunnel RTT is hidden and throughput is compute-bound
+    n_prev = None
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        Tcw, n = frame_chain(img_d, m_d, T0)
+        if n_prev is not None:
+            int(n_prev)   # lagged pull — overlaps the in-flight dispatch
+        n_prev = n
+    int(n_prev)
+    dt_pipe = (time.perf_counter() - t0) / reps
+    return 1.0 / dt, 1.0 / dt_pipe
 
 
 def time_event_engine(device, n_events=65536, reps=10):
@@ -251,7 +264,7 @@ def cpu_baseline():
     out = {}
     prob = make_problem()
     out["ba_ms"], _ = time_ba(cpu, prob, reps=2)
-    out["fps"] = time_tracking(cpu, reps=5)
+    out["fps"], _ = time_tracking(cpu, reps=5)
     out["wps"] = time_event_engine(cpu, reps=3)
     print(json.dumps(out))
 
@@ -290,7 +303,7 @@ def main():
     dev = jax.devices()[0]
     prob = make_problem()
     tpu_ms, res = time_ba(dev, prob)
-    track_fps = time_tracking(dev)
+    track_fps, track_fps_pipe = time_tracking(dev)
     ev_wps = time_event_engine(dev)
 
     base = _run_cpu_baseline_subprocess()
@@ -307,10 +320,12 @@ def main():
                 "vs_baseline": round(vs, 2),
                 "extra": {
                     "tracking_fps_752x480_512kp": round(track_fps, 1),
+                    "tracking_fps_pipelined": round(track_fps_pipe, 1),
                     "tracking_fps_vs_xla_cpu": round(track_fps / cpu_fps, 2),
                     "event_mci_windows_per_s_65k": round(ev_wps, 1),
                     "event_windows_vs_xla_cpu": round(ev_wps / cpu_wps, 2),
-                    "realtime_margin_24fps": round(track_fps / 24.0, 2),
+                    # deployed margin: run_slam's mono path IS pipelined
+                    "realtime_margin_24fps": round(track_fps_pipe / 24.0, 2),
                 },
             }
         )

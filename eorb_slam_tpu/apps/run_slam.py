@@ -93,7 +93,10 @@ def build_system(st: cfg_mod.Settings, loop_words=None):
             return MixedMonoSlam(cam, **kw)
         from eorb_slam_tpu.slam.system import MonoSlam
 
-        return MonoSlam(cam, **kw)
+        # pipelined: the per-frame decision pull overlaps the next frame's
+        # dispatch (host decisions trail one frame) — on a tunneled remote
+        # device this removes one RTT per frame from the tracking loop
+        return MonoSlam(cam, pipelined=True, **kw)
     if s is SensorConfig.STEREO:
         from eorb_slam_tpu.slam.rgbd_stereo import StereoSlam
 
@@ -124,19 +127,26 @@ def build_system(st: cfg_mod.Settings, loop_words=None):
         from eorb_slam_tpu.slam.event_inertial import EventInertialSlam
 
         return EventInertialSlam(cam, calib, ev_cfg)
+    # image tracker of the synch modes carries the loop closer; a loop
+    # correction is propagated into the event map + a joint GBA runs over
+    # both observation sets (reference event-aware LoopClosing dispatch,
+    # src/LoopClosing.cc:2535-2549)
+    ev_im_kw = {}
+    if loop_words is not None:
+        ev_im_kw["loop_words"] = loop_words
     if s is SensorConfig.EVENT_MONO:
         from eorb_slam_tpu.slam.ev_image_system import EvImageSlam
 
         return EvImageSlam(
             cam, ev_cfg, img_w=st.cam.width, img_h=st.cam.height,
-            max_kp=n_kp,
+            max_kp=n_kp, **ev_im_kw,
         )
     if s is SensorConfig.EVENT_IMU_MONO:
         from eorb_slam_tpu.slam.event_inertial import EvImageInertialSlam
 
         return EvImageInertialSlam(
             cam, calib, cfg=ev_cfg, img_w=st.cam.width, img_h=st.cam.height,
-            max_kp=n_kp,
+            max_kp=n_kp, **ev_im_kw,
         )
     raise ValueError(f"unsupported sensor config: {s}")
 
@@ -171,7 +181,7 @@ def run_sequence(
 ):
     """One sequence through the pipeline; returns (slam, result dict)."""
     loop_words = None
-    if st.sensor.is_image() and not st.sensor.is_event():
+    if st.sensor.is_image():
         try:
             loop_words = make_vocab(st, seq)
         except Exception as e:

@@ -92,6 +92,8 @@ def save_slam(path: str, slam) -> None:
     init RANSAC / relocalization — would otherwise diverge), the
     RECENTLY_LOST grace counter, and the pending init frame (a checkpoint
     taken in NOT_INITIALIZED keeps its reference frame)."""
+    if hasattr(slam, "flush_pipeline"):
+        slam.flush_pipeline()   # resolve in-flight speculative tracking
     extra = {
         "state": slam.state,
         "n_kf": slam.n_kf,

@@ -211,7 +211,7 @@ class EvImageInertialSlam(ev_image_system.EvImageSlam):
         slam_kw = {
             k: v for k, v in kw.items()
             if k in ("K", "M", "P", "min_init_matches", "min_track_inliers",
-                     "local_window", "seed")
+                     "local_window", "seed", "loop_words")
         }
         # replace the visual image tracker with the inertial pipeline
         self.im = MonoInertialSlam(
@@ -237,10 +237,32 @@ class EvImageInertialSlam(ev_image_system.EvImageSlam):
             ts, xy_ud, feats.octave, feats.angle, feats.desc_pm1, feats.valid
         )
         res = self.im.process_features_imu(f, imu)
-        # IMU init / scale refinement rescaled the image map: every stored
-        # gauge pair mixes scales now — drop them and re-estimate (the
-        # reference re-applies scale+rotation to the event side instead)
+        # IMU init / scale refinement rescaled the image map. With a locked
+        # (joint-init) gauge, REPLAY the same world transform on the event
+        # map so the identity bridge stays exact — the reference's
+        # ApplyScaleAndRotationEvSynch (src/LoopClosing.cc:2075-2094).
+        # Without a locked gauge, the stored pairs mix scales: drop them.
+        for Ryw, s in self.im.pending_world_transforms:
+            if self._gauge_locked and self.ev.n_kf >= 2:
+                self._apply_world_transform_to_event(Ryw, s)
+        self.im.pending_world_transforms.clear()
         if self.im.scale_applied != self._scale_seen:
             self._gauge_pairs.clear()
             self._scale_seen = self.im.scale_applied
         return res
+
+    def _apply_world_transform_to_event(self, Ryw: np.ndarray, s: float):
+        """world' = s * Ryw * world on the event map: Rcw' = Rcw Ryw^T,
+        tcw' = s tcw, lm' = s Ryw lm (Map::ApplyScaledRotation semantics,
+        include/Map.h:122-123, replayed on the event Atlas)."""
+        m = self.ev.map
+        R = m.kf_T[:, :3, :3] @ jnp.asarray(Ryw).T
+        kf_T = m.kf_T.at[:, :3, :3].set(R).at[:, :3, 3].multiply(s)
+        lm = s * (m.lm_pos @ jnp.asarray(Ryw).T)
+        self.ev.map = m._replace(kf_T=kf_T, lm_pos=lm)
+        Tl = np.asarray(self.ev.T_last).copy()
+        Tl[:3, :3] = Tl[:3, :3] @ np.asarray(Ryw).T
+        Tl[:3, 3] *= s
+        self.ev.T_last = jnp.asarray(Tl)
+        self.ev.velocity = jnp.eye(4)
+        self.ev._rescale_trajectory(s)

@@ -96,6 +96,7 @@ class MonoSlam:
         seed: int = 0,
         loop_words: Optional[jnp.ndarray] = None,
         loop_min_gap: int = 8,
+        pipelined: bool = False,
     ):
         self.cam = cam_params
         self.img_w, self.img_h = img_w, img_h
@@ -149,6 +150,17 @@ class MonoSlam:
         # paired event frame reachable via Frame::mpEvFrame)
         self.last_frame: Optional[FrameInput] = None
         self.last_track = None
+        # --- pipelined tracking (opt-in): the per-frame host decision pull
+        # (2 floats) costs one full RTT on a tunneled device; with
+        # speculation the pull for frame i overlaps frame i+1's dispatch.
+        # Device state (T_last/velocity/trajectory) advances on device refs
+        # alone; host decisions (lost / wide retry / KF policy) trail one
+        # frame and roll the speculation back when they miss. This is the
+        # tracking-thread/decision split of the reference re-expressed as
+        # latency hiding (SURVEY §2.10) — the state machine is identical,
+        # one frame late.
+        self.pipelined = pipelined
+        self._pipe = None            # in-flight speculation
         # failure recovery (reference Tracking RECENTLY_LOST grace +
         # CreateMapInAtlas, src/Tracking.cc:898-970,:1206-1224)
         self.lost_frames = 0
@@ -161,6 +173,14 @@ class MonoSlam:
         self.loop_closer = None
         self.loop_min_gap = loop_min_gap
         self.loops_closed = 0
+        # handoff to a paired event tracker (EvImageSlam): on a loop
+        # correction the pre-correction keyframe poses + the LoopInfo are
+        # stashed so the synch event map can follow the weld and the final
+        # GBA can include event observations (reference dispatches
+        # EvOptimizer variants from LoopClosing/GBA whenever isEvent(),
+        # src/LoopClosing.cc:2535-2549) — consumed by the wrapper, None
+        # otherwise
+        self.last_loop_correction = None
         if loop_words is not None:
             from eorb_slam_tpu.slam import loop_closing as lc_mod
 
@@ -305,14 +325,84 @@ class MonoSlam:
             f = FrameInput(ts, xy_ud, feats.octave, feats.angle,
                            feats.desc_pm1, feats.valid)
             self.stats["frames"] += 1
+            if self.pipelined:
+                return self._speculate(f, res, flags, vel_new, T_rel, ref)
             return self._track_post(f, res, flags,
                                     fused=(vel_new, T_rel, ref))
+        self.flush_pipeline()
         feats = frontend.extract(img, max_kp=max_kp)
         xy_ud = cam_mod.undistort_points(self.cam, feats.xy)
         return self.process_features(
             FrameInput(ts, xy_ud, feats.octave, feats.angle,
                        feats.desc_pm1, feats.valid)
         )
+
+    # ------------------------------------------------- pipelined tracking
+
+    def _speculate(self, f, res, flags, vel_new, T_rel, ref):
+        """Advance device state for this frame WITHOUT pulling its flags,
+        then resolve the PREVIOUS frame's decisions — its flags transfer
+        overlapped with this frame's dispatch, so the RTT is hidden."""
+        prev = self._pipe
+        saved = (self.T_last, self.velocity)
+        self.velocity = vel_new
+        self.T_last = res.Tcw
+        self.trajectory.append((f.ts, T_rel, ref))
+        self._pipe = (f, res, flags, saved)
+        out = {"state": self.state, "pipelined": True, "n_inliers": -1}
+        if prev is not None:
+            out = self._resolve_speculation(prev, successor=True)
+        return out
+
+    def flush_pipeline(self):
+        """Resolve any in-flight speculation (call before reading
+        trajectory/stats or checkpointing)."""
+        if self._pipe is not None:
+            prev, self._pipe = self._pipe, None
+            return self._resolve_speculation(prev, successor=False)
+        return None
+
+    def _resolve_speculation(self, pend, successor: bool):
+        f, res, flags, saved = pend
+        n_inl, finite = (float(x) for x in np.asarray(flags))
+        n_inl = int(n_inl)
+        if n_inl >= self.min_track_inliers and finite:
+            # prediction confirmed — commit the host-side bookkeeping
+            self.last_frame = f
+            self.last_track = res
+            self.lost_frames = 0
+            self.frames_since_kf += 1
+            need_kf = (
+                n_inl < self.kf_inlier_ratio * max(self.n_inliers_ref, 1)
+                or self.frames_since_kf >= self.max_frames_between_kf
+                or self._need_kf_extra(f)
+            )
+            out = {"state": self.state, "n_inliers": n_inl, "kf": False}
+            if need_kf:
+                T_spec, vel_spec = self.T_last, self.velocity
+                self._insert_keyframe(f, res, n_inl=n_inl)
+                if successor:
+                    # the KF's refined pose must not clobber the newer
+                    # in-flight frame's speculated pose
+                    self.T_last, self.velocity = T_spec, vel_spec
+                out.update(kf=True, n_lm=self.stats["lm"])
+            return out
+        # misprediction: this frame did NOT track. Unwind every speculative
+        # trajectory entry at or after it, restore the pre-frame state, and
+        # run the synchronous recovery (wide retry / lost handling); a
+        # successor speculation was predicted from the bad pose — drop it
+        # and reprocess its features synchronously.
+        n_pop = 1 + (1 if successor else 0)
+        for _ in range(n_pop):
+            if self.trajectory:
+                self.trajectory.pop()
+        succ_f = self._pipe[0] if (successor and self._pipe) else None
+        self._pipe = None
+        self.T_last, self.velocity = saved
+        out = self._track(f)
+        if succ_f is not None:
+            out = self._track(succ_f)
+        return out
 
     def process_features(self, f: FrameInput):
         self.stats["frames"] += 1
@@ -643,7 +733,8 @@ class MonoSlam:
             )
         self._cull_keyframes()
 
-    def _insert_keyframe(self, f: FrameInput, res: tracking.TrackResult):
+    def _insert_keyframe(self, f: FrameInput, res: tracking.TrackResult,
+                         n_inl: Optional[int] = None):
         self._last_kf_ts = f.ts
         self._drain_mapping()
         slot_i = self._alloc_kf_slot()
@@ -663,7 +754,9 @@ class MonoSlam:
         self._kf_seq_next += 1
         self.last_kf_slot = slot_i
         self.frames_since_kf = 0
-        self.n_inliers_ref = int(res.n_inliers)
+        # n_inl from an already-pulled flags vector skips a device sync
+        self.n_inliers_ref = (int(res.n_inliers) if n_inl is None
+                              else int(n_inl))
 
         # the whole mapping pass (insert + triangulate + fuse + local BA)
         # is ONE dispatch (local_mapping.keyframe_mapping_step)
@@ -699,6 +792,7 @@ class MonoSlam:
             q = slot_i
             self.loop_closer.add_keyframe(self.map, q)
             if len(self._kf_order) >= self.loop_min_gap:
+                T_before = self.map.kf_T  # device ref, no pull
                 self.map, info = self.loop_closer.detect_and_correct(
                     self.map, q, order=self._kf_order
                 )
@@ -707,6 +801,7 @@ class MonoSlam:
                     self.T_last = self.map.kf_T[q]
                     self.velocity = jnp.eye(4)
                     self.stats["loops"] = self.loops_closed
+                    self.last_loop_correction = (T_before, info)
             if self._stored_dbs and self.n_kf >= 4:
                 self._try_map_merge(q)
 
@@ -815,6 +910,7 @@ class MonoSlam:
         """[(ts, Twc 4x4)] for evaluation (camera-to-world). Entries from
         earlier Atlas maps were frozen at map-switch time; current-map
         entries recompose against the latest keyframe poses."""
+        self.flush_pipeline()
         self._drain_mapping()
         kf_T = np.asarray(self.map.kf_T)
         out = list(self._traj_frozen)

@@ -238,6 +238,10 @@ class MonoInertialSlam(MonoSlam):
         # (reference mbMapUpdated alternation, src/Tracking.cc:1959-1984)
         self._prior = None
         self.scale_applied = 1.0
+        # world transforms (Ryw, s) applied by IMU init / scale refinement,
+        # queued for a paired event tracker to replay on ITS map (reference
+        # System::ApplyScaleAndRotationEvSynch, src/LoopClosing.cc:2075-2094)
+        self.pending_world_transforms: list = []
         self._last_refine_s = 1.0
         # stereo/RGB-D inertial variants fix the (already metric) scale
         # (reference InitializeIMU bFixedScale for non-monocular sensors)
@@ -599,6 +603,9 @@ class MonoInertialSlam(MonoSlam):
         self.imu_initialized = True
         self._init_kf_count = self._kf_seq_next
         self.scale_applied = float(s)
+        self.pending_world_transforms.append(
+            (np.asarray(Ryw, np.float32), float(s))
+        )
 
         self._vi_local_ba(full=True)
 
@@ -649,6 +656,9 @@ class MonoInertialSlam(MonoSlam):
         self.vel = vel2[last]
         self.T_last = kf_T2[last]
         self.scale_applied *= s
+        self.pending_world_transforms.append(
+            (np.asarray(Ryw, np.float32), float(s))
+        )
         # re-solve structure+poses with inertial factors at the new scale
         # (the reference follows InertialOptimization with FullInertialBA,
         # src/IMU/IMU_Manager.cpp:322-371)

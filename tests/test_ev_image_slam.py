@@ -104,3 +104,73 @@ def test_joint_ba_improves_or_matches_ate():
     assert n_j >= 5 and n_i >= 5
     # joint BA must be at least neutral (10% slack for solver noise)
     assert rmse_j <= rmse_i * 1.10 + 1e-3, (rmse_j, rmse_i)
+
+
+def test_loop_correction_propagates_to_event_map():
+    """An image-map loop correction must carry the synch event map with it
+    (reference event-aware LoopClosing/GBA dispatch, src/LoopClosing.cc:
+    2535-2549): every event keyframe/landmark follows its nearest-in-time
+    image keyframe's correction rigidly, preserving camera-frame geometry
+    across the weld (identity-gauge exactness check)."""
+    import jax.numpy as jnp
+
+    from eorb_slam_tpu.geometry import lie
+    from eorb_slam_tpu.slam import map_state as ms
+
+    rng = np.random.default_rng(0)
+    K_im, K_ev, Nf = 8, 6, 16
+    im = ms.empty_map(K=K_im, M=64, N=Nf, P=4)
+    ev = ms.empty_map(K=K_ev, M=64, N=Nf, P=4)
+
+    def rand_T(i):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(lie.so3_exp(jnp.asarray(
+            0.1 * rng.standard_normal(3), jnp.float32)))
+        T[:3, 3] = rng.standard_normal(3)
+        return T
+
+    zeros = (jnp.zeros((Nf, 2)), jnp.zeros(Nf, jnp.int32),
+             jnp.zeros(Nf), jnp.zeros((Nf, 256), jnp.int8),
+             jnp.ones(Nf, bool), jnp.full(Nf, -1, jnp.int32))
+    for i in range(K_im):
+        im = ms.insert_keyframe(im, jnp.asarray(i),
+                                jnp.asarray(rand_T(i)), 0.1 * i, *zeros)
+    for j in range(K_ev):
+        ev = ms.insert_keyframe(ev, jnp.asarray(j),
+                                jnp.asarray(rand_T(10 + j)),
+                                0.1 * j + 0.04, *zeros)
+    pts = rng.standard_normal((64, 3)).astype(np.float32)
+    ev = ev._replace(
+        lm_pos=jnp.asarray(pts), lm_valid=jnp.ones(64, bool),
+        lm_first_kf=jnp.asarray(rng.integers(0, K_ev, 64), jnp.int32),
+    )
+
+    # apply a per-KF correction to the image map (a rigid world-frame warp
+    # G differing per anchor would be the general case; use one global G so
+    # the expected event state is exact)
+    G = np.eye(4, dtype=np.float32)
+    G[:3, :3] = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.3, 0.0])))
+    G[:3, 3] = [0.5, -0.2, 0.1]
+    T_before = im.kf_T
+    T_after = jnp.asarray(np.asarray(im.kf_T) @ G)
+
+    ev2 = ev_image_system._propagate_loop_to_event(
+        ev, im.kf_ts, im.kf_valid, T_before, T_after,
+        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+        jnp.asarray(1.0, jnp.float32),
+    )
+    # poses follow: Te' = Te @ G; landmarks: x' = G^-1 x
+    np.testing.assert_allclose(
+        np.asarray(ev2.kf_T), np.asarray(ev.kf_T) @ G, atol=1e-4)
+    Ginv = np.linalg.inv(G)
+    np.testing.assert_allclose(
+        np.asarray(ev2.lm_pos),
+        pts @ Ginv[:3, :3].T + Ginv[:3, 3], atol=1e-4)
+    # camera-frame coordinates of each landmark are preserved through the
+    # weld for every (event KF, landmark) pair
+    pc_old = np.einsum("kij,mj->kmi", np.asarray(ev.kf_T)[:, :3, :3], pts) \
+        + np.asarray(ev.kf_T)[:, None, :3, 3]
+    x_new = np.asarray(ev2.lm_pos)
+    pc_new = np.einsum("kij,mj->kmi", np.asarray(ev2.kf_T)[:, :3, :3], x_new) \
+        + np.asarray(ev2.kf_T)[:, None, :3, 3]
+    np.testing.assert_allclose(pc_new, pc_old, atol=1e-3)
