@@ -37,6 +37,44 @@ class LoopInfo(NamedTuple):
     scale: float
 
 
+@jax.jit
+def _projection_verify(
+    cam, kf_T_cand, kf_T_query,
+    lm_ids_c, feat_valid_c, lm_pos, lm_desc,
+    xy_q, desc_q, feat_valid_q,
+    R, t, s,
+    img_w, img_h,
+):
+    """Reference LoopClosing's second geometric gate: after the Sim3
+    RANSAC, project the CANDIDATE side's landmarks into the query frame
+    through the candidate's pose + the relative Sim3 (ORBmatcher::
+    SearchByProjection with Scw, src/ORBmatcher.cc:480; CorrectLoop
+    requires >= 40 total matches, src/LoopClosing.cc:933). Perceptually
+    aliased candidates pass a 3-point Sim3 on a handful of repeated-
+    texture pairs but cannot produce dozens of descriptor-consistent
+    projections. Returns the projected-match count."""
+    from ..geometry import camera as geo_cam
+
+    valid_c = feat_valid_c & (lm_ids_c >= 0)
+    X = lm_pos[jnp.clip(lm_ids_c, 0)]
+    p_c = lie.se3_apply(kf_T_cand, X)             # candidate cam coords
+    # query cam = S^-1 (cand cam): p_q = R^T (p_c - t) / s
+    p_q = ((p_c - t) @ R) / s
+    uv = geo_cam.pinhole_project_linear(cam, p_q)
+    vis = (
+        valid_c & (p_q[:, 2] > 0.05)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < img_w)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < img_h)
+    )
+    pair = matching.window_mask(uv, xy_q, 10.0)
+    j, _ = matching.match_nnratio(
+        lm_desc[jnp.clip(lm_ids_c, 0)], vis,
+        desc_q, feat_valid_q,
+        pair_mask=pair, max_dist=matching.TH_HIGH, mutual=True,
+    )
+    return jnp.sum((j >= 0) & vis)
+
+
 class LoopCloser:
     """Keeps the BoW keyframe database and runs detection + correction.
 
@@ -47,7 +85,9 @@ class LoopCloser:
     def __init__(self, cam_params, words_pm1, Kmax: int,
                  min_inliers: int = 20, nn_ratio: float = 0.75,
                  max_edges: int = 256, consistency_required: int = 3,
-                 sparse_words_per_kf: int = 512):
+                 sparse_words_per_kf: int = 512,
+                 proj_verify_min: int = 40,
+                 img_w: int = 752, img_h: int = 480):
         self.cam = jnp.asarray(cam_params)
         # vocabulary: flat (V,256) codebook for small test vocabularies, or
         # a 2-level HierVocab + sparse index at real-vocabulary scale
@@ -60,6 +100,8 @@ class LoopCloser:
         self.min_inliers = int(min_inliers)
         self.nn_ratio = float(nn_ratio)
         self.max_edges = int(max_edges)
+        self.proj_verify_min = int(proj_verify_min)
+        self.img_w, self.img_h = int(img_w), int(img_h)
         self._key = jax.random.PRNGKey(7)
         # temporal-consistency chaining (reference NewDetectCommonRegions,
         # src/LoopClosing.cc:267): a loop fires only after
@@ -293,6 +335,20 @@ class LoopCloser:
         res, _ = self.verify(m, query, cand)
         n_inl = int(res.n_inliers)
         if n_inl < self.min_inliers:
+            return m, LoopInfo(False, query, cand, n_inl, 1.0)
+        # second gate: projection verification through the measured Sim3
+        # (the Sim3 RANSAC alone passes perceptually aliased candidates on
+        # self-similar scenes — measured: 4 false welds per corridor run,
+        # ATE 0.03 -> 3.7 m)
+        n_proj = int(_projection_verify(
+            self.cam, m.kf_T[cand], m.kf_T[query],
+            m.kf_feat_lm[cand], m.kf_feat_valid[cand],
+            m.lm_pos, m.lm_desc_pm1,
+            m.kf_xy[query], m.kf_desc_pm1[query], m.kf_feat_valid[query],
+            res.R, res.t, res.s,
+            jnp.asarray(float(self.img_w)), jnp.asarray(float(self.img_h)),
+        ))
+        if n_proj < self.proj_verify_min:
             return m, LoopInfo(False, query, cand, n_inl, 1.0)
         self._chains = []
         m = self.correct(m, query, cand, res, run_gba=run_gba, order=order)

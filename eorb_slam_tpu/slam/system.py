@@ -185,7 +185,12 @@ class MonoSlam:
             from eorb_slam_tpu.slam import loop_closing as lc_mod
 
             self.loop_closer = lc_mod.LoopCloser(
-                cam_params, loop_words, Kmax=K, sparse_words_per_kf=N
+                cam_params, loop_words, Kmax=K, sparse_words_per_kf=N,
+                img_w=img_w, img_h=img_h,
+                # small sensors (event MCIs) carry fewer trackable features
+                # per frame — scale the projection-verify quorum with the
+                # feature budget, floor 20
+                proj_verify_min=max(20, min(40, N // 12)),
             )
         # BoW databases of stored (lost) maps, keyed by atlas index — the
         # retrieval side of cross-map merging (reference LoopClosing checks
@@ -844,6 +849,22 @@ class MonoSlam:
                 cam_params1=self.cam, cam_params2=self.cam,
             )
             if int(res.n_inliers) < 20:
+                continue
+            # projection verification through the measured Sim3 (same
+            # second gate as in-map loops — a false cross-map weld is
+            # strictly worse than a missed merge)
+            from eorb_slam_tpu.slam import loop_closing as lc_mod
+
+            n_proj = int(lc_mod._projection_verify(
+                self.cam, sto.kf_T[cand], m.kf_T[q],
+                sto.kf_feat_lm[cand], sto.kf_feat_valid[cand],
+                sto.lm_pos, sto.lm_desc_pm1,
+                m.kf_xy[q], m.kf_desc_pm1[q], m.kf_feat_valid[q],
+                res.R, res.t, res.s,
+                jnp.asarray(float(self.img_w)),
+                jnp.asarray(float(self.img_h)),
+            ))
+            if n_proj < lc.proj_verify_min:
                 continue
             # res maps query-cam -> cand-cam; compose stored-world ->
             # active-world: Twq o S^-1 o T_cand
