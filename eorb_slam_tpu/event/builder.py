@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from eorb_slam_tpu.event import contrast_max, klt, tensorize
+from eorb_slam_tpu.geometry import lie
 from eorb_slam_tpu.ops import fast
 
 
@@ -49,6 +50,12 @@ class BuilderConfig:
     min_ev_gen_rate: float = 1.0       # events/px/s idle gate (minEvGenRate)
     sigma: float = 1.0                 # ev2im_gauss sigma
     cm_iters: int = 40                 # contrast-max ascent iterations
+    cm_sample: int = 16384             # events used by the CM *ascent* (the
+    #                                    final warp/splat always uses all):
+    #                                    the contrast gradient is a mean over
+    #                                    events, so a temporal-strided subset
+    #                                    estimates it at a fraction of the
+    #                                    cost on dense streams
     max_window_events: int = 65536     # static capacity of the L2 window
     n_klt_pts: int = 128               # FAST corners tracked per chunk
     overlap: float = 0.5               # continuous-mode re-injection fraction
@@ -130,6 +137,7 @@ def _make_candidates(
     W: int,
     sigma: float,
     cm_iters: int,
+    cm_stride: int = 1,
 ):
     # event times arrive REBASED to the window start (float64 ts - t0 done
     # host-side, see _pad_events) so float32 precision is ~ns here
@@ -141,9 +149,13 @@ def _make_candidates(
     # candidate 0: plain Gaussian histogram (getEvHist)
     img_h = tensorize.splat_gauss(xy, valid, pol, H, W, sigma=sigma)
 
-    # candidate 1: SE2 contrast maximization (getAff2DMCI): jitted ascent
+    # candidate 1: SE2 contrast maximization (getAff2DMCI): jitted ascent.
+    # The ascent runs on a temporally-strided subset (cm_stride > 1 on
+    # dense streams): the contrast objective is a mean over events, so the
+    # subset estimates its gradient; the final warp uses ALL events.
     params, c_after, c_before = contrast_max.maximize_rt2d(
-        xy, t_sec, valid, H, W, iters=cm_iters, sigma=sigma
+        xy[::cm_stride], t_sec[::cm_stride], valid[::cm_stride],
+        H, W, iters=cm_iters, sigma=sigma
     )
     center = jnp.asarray([W / 2.0, H / 2.0], xy.dtype)
     # align to the window END (t_rel' = t - dt is 0 there): the MCI is
@@ -186,8 +198,89 @@ def _make_candidates(
 
 
 _make_candidates_jit = jax.jit(
-    _make_candidates, static_argnames=("H", "W", "sigma", "cm_iters")
+    _make_candidates,
+    static_argnames=("H", "W", "sigma", "cm_iters", "cm_stride"),
 )
+
+
+# ---------------------------------------------------------------------------
+# Batched window step: the ENTIRE L1 window — per-chunk splats, the KLT
+# continuity chain, FAST re-detection, and all four MCI candidates — in ONE
+# dispatch. The per-chunk host loop (and its one blocking device pull per
+# chunk) was the event engine's wall-clock bottleneck on a remote-TPU link:
+# each sync costs a full tunnel RTT (~27 ms measured), so at 4 chunks/window
+# the old step() spent ~100 ms/window on latency alone. Here the host gets
+# back only DEVICE references plus one small metadata vector that is
+# prefetched with copy_to_host_async and read one window later (lagged
+# adaptive feedback, like the pipelined image tracker).
+@functools.partial(
+    jax.jit,
+    static_argnames=("H", "W", "sigma", "cm_iters", "cm_stride"),
+)
+def _window_step(
+    chunks: jnp.ndarray,      # (L,C,4) per-chunk padded events, t rebased
+    #                           to the WINDOW start (float32 seconds)
+    cvalid: jnp.ndarray,      # (L,C)
+    dt_win: jnp.ndarray,      # () window duration (s)
+    chunk_dts: jnp.ndarray,   # (L,) dt between consecutive chunk ends
+    prev_img: jnp.ndarray,    # (H,W) last chunk image of the previous window
+    prev_pts: jnp.ndarray,    # (Np,2) its FAST corners
+    prev_ok: jnp.ndarray,     # (Np,)
+    T_prev: jnp.ndarray,      # (4,4) L2 pose feedback (PoseDepthInfo)
+    T_cur: jnp.ndarray,       # (4,4)
+    med_depth: jnp.ndarray,   # ()
+    have_dpose: jnp.ndarray,  # () bool
+    cam_params: jnp.ndarray,
+    H: int,
+    W: int,
+    sigma: float,
+    cm_iters: int,
+    cm_stride: int,
+):
+    L, C, _ = chunks.shape
+
+    imgs = jax.vmap(
+        lambda e, v: tensorize.normalize_to_image(
+            tensorize.splat_gauss(e[:, 1:3], v, e[:, 3], H, W, sigma=sigma)
+        )
+    )(chunks, cvalid)
+
+    n_klt = prev_pts.shape[0]
+
+    def body(carry, img_c):
+        img_p, pts_p, ok_p = carry
+        res = klt.track(
+            img_p, img_c, pts_p, ok_p, win=9, levels=2, iters=6, min_ncc=0.3
+        )
+        md = klt.median_displacement(res, pts_p)
+        xy_new, _, vmask = fast.detect_grid(
+            img_c, threshold=0.08, min_threshold=0.03, cell=24,
+            per_cell=2, max_kp=n_klt, border=6,
+        )
+        return (img_c, xy_new, vmask), (md, pts_p, res.xy, ok_p & res.ok)
+
+    (img_l, pts_l, ok_l), (mds, kp, kc, kok) = jax.lax.scan(
+        body, (prev_img, prev_pts, prev_ok), imgs
+    )
+
+    # window-level MCI candidates over the flattened (time-ordered) events
+    ev = chunks.reshape(L * C, 4)
+    valid = cvalid.reshape(L * C)
+    # DPose prior: constant-velocity extrapolation on DEVICE (the host
+    # posts T_prev/T_cur as device arrays — no pull)
+    rel = T_cur @ lie.se3_inv(T_prev)
+    best_img, best, scores, se2 = _make_candidates(
+        ev, valid, dt_win,
+        T_cur, rel @ T_cur, med_depth, have_dpose,
+        kp[-1], kc[-1], kok[-1], jnp.maximum(chunk_dts[-1], 1e-6),
+        jnp.sum(kok[-1]) >= 6,
+        cam_params, H=H, W=W, sigma=sigma, cm_iters=cm_iters,
+        cm_stride=cm_stride,
+    )
+    meta = jnp.concatenate(
+        [best[None].astype(jnp.float32), scores, mds, se2]
+    )
+    return best_img, meta, img_l, pts_l, ok_l
 
 
 class EventWindowBuilder:
@@ -228,6 +321,12 @@ class EventWindowBuilder:
         # measured-flow MCI candidate
         self._klt_fit = None
         self._last_chunk_ts = 0.0
+        # batched-window path state (step_window): device KLT carry +
+        # prefetched metadata resolved one window later
+        self._win_carry = None
+        self._pending_meta = None
+        self._last_kind = "hist"
+        self._last_score = 0.0
         self.stats = {"chunks": 0, "windows": 0, "idle": 0, "ev_truncated": 0}
 
     # ------------------------------------------------------------- input
@@ -261,8 +360,11 @@ class EventWindowBuilder:
         else:
             self.buf = np.concatenate([events, self.buf])
 
-    def set_pose_prior(self, T0: np.ndarray, T1: np.ndarray, med_depth: float):
-        self.pose_prior = (np.asarray(T0), np.asarray(T1), float(med_depth))
+    def set_pose_prior(self, T0, T1, med_depth):
+        """L2 pose/depth feedback (PoseDepthInfo analog). Accepts DEVICE
+        arrays — they are consumed on device by step_window, so posting
+        them must not force a host pull."""
+        self.pose_prior = (T0, T1, med_depth)
 
     # ------------------------------------------------------------- control
 
@@ -341,6 +443,116 @@ class EventWindowBuilder:
             )
         return self._finish_window()
 
+    # --------------------------------------------- batched window pipeline
+
+    def _resolve_window_meta(self, block: bool = False) -> None:
+        """Opportunistically pull the most recent window metadata and run
+        the adaptive-window feedback on it. NEVER blocks in the steady
+        state: the prefetched transfer (copy_to_host_async) is consumed
+        only once ``is_ready()`` — on a tunneled device a blocking pull
+        costs a full RTT (~27-90 ms measured), which would serialize every
+        window on its own 1-2 ms of compute. Feedback lag of a few windows
+        is harmless: the reference's controller is a damped ratio clamp."""
+        if self._pending_meta is None:
+            return
+        if not block and not self._pending_meta.is_ready():
+            return
+        meta = np.asarray(self._pending_meta)
+        self._pending_meta = None
+        L = self.cfg.l1_num_loop
+        best_i = int(meta[0])
+        self._last_kind = ["hist", "se2", "dpose", "klt2d"][best_i]
+        self._last_score = float(meta[1 + best_i])
+        mds = meta[5:5 + L]
+        mds = mds[np.isfinite(mds) & (mds > 1e-3)]
+        if len(mds):
+            med = float(np.median(mds))
+            self.last_med_disp = med
+            self._adapt_chunk_size(med)
+
+    def step_window(self) -> Optional[PoseImage]:
+        """Process one FULL L1 window (l1_num_loop chunks) in a single
+        dispatch — splats, KLT continuity chain, FAST re-detection, and the
+        four MCI candidates (see _window_step). Returns a PoseImage per
+        completed window; tiny frames never surface (their only purpose —
+        KLT continuity + window adaptation — happens inside the jit).
+
+        ``best_kind``/``score`` lag one window (telemetry-only fields; the
+        exact values ride the prefetched metadata)."""
+        cfg = self.cfg
+        L = cfg.l1_num_loop
+        cs = self.chunk_size
+        if self.pending_events() < cs * L:
+            return None
+        self._resolve_window_meta()
+        cs = self.chunk_size        # feedback may have changed it
+        if self.pending_events() < cs * L:
+            return None
+        win = self._consume(cs * L)
+        self.stats["chunks"] += L
+
+        t0, t1 = float(win[0, 0]), float(win[-1, 0])
+        rate = len(win) / max(t1 - t0, 1e-9) / (cfg.img_w * cfg.img_h)
+        if rate < cfg.min_ev_gen_rate:
+            self.stats["idle"] += 1
+            self._win_carry = None
+            self._klt_fit = None
+            return None
+
+        # per-chunk padded tensor, power-of-two bucket (bounded recompiles)
+        C = max(1024, 1 << (cs - 1).bit_length())
+        chunks = np.zeros((L, C, 4), np.float32)
+        cvalid = np.zeros((L, C), bool)
+        tr = (win[:, 0] - t0).astype(np.float32)
+        for i in range(L):
+            seg = slice(i * cs, (i + 1) * cs)
+            chunks[i, :cs, 0] = tr[seg]
+            chunks[i, :cs, 1:] = win[seg, 1:].astype(np.float32)
+            cvalid[i, :cs] = True
+        chunk_t1 = win[(np.arange(L) + 1) * cs - 1, 0]
+        prev_t1 = self._last_chunk_ts or (t0 - 1e-3)
+        dts = np.diff(np.concatenate([[prev_t1], chunk_t1])).astype(np.float32)
+        self._last_chunk_ts = float(chunk_t1[-1])
+
+        carry = self._win_carry
+        if carry is None:
+            n = cfg.n_klt_pts
+            carry = (
+                jnp.zeros((cfg.img_h, cfg.img_w), jnp.float32),
+                jnp.zeros((n, 2), jnp.float32),
+                jnp.zeros(n, bool),
+            )
+        if self.pose_prior is not None:
+            T_prev, T_cur, depth = self.pose_prior
+            have_dpose = True
+        else:
+            T_prev = T_cur = np.eye(4, dtype=np.float32)
+            depth, have_dpose = 1.0, False
+        cm_stride = max(1, int(np.ceil(L * C / max(cfg.cm_sample, 1))))
+
+        best_img, meta, img_l, pts_l, ok_l = _window_step(
+            jnp.asarray(chunks), jnp.asarray(cvalid),
+            jnp.asarray(t1 - t0, jnp.float32), jnp.asarray(dts),
+            carry[0], carry[1], carry[2],
+            jnp.asarray(T_prev, jnp.float32), jnp.asarray(T_cur, jnp.float32),
+            jnp.asarray(depth, jnp.float32), jnp.asarray(bool(have_dpose)),
+            self.cam, H=cfg.img_h, W=cfg.img_w, sigma=cfg.sigma,
+            cm_iters=cfg.cm_iters, cm_stride=cm_stride,
+        )
+        self._win_carry = (img_l, pts_l, ok_l)
+        meta.copy_to_host_async()
+        self._pending_meta = meta
+        self.stats["windows"] += 1
+
+        n_keep = int(len(win) * cfg.overlap)
+        if n_keep > 0:
+            self._inject_front(win[-n_keep:])
+        return PoseImage(
+            img=best_img, ts=t1, ts0=t0, reconst_stat=1,
+            best_kind=self._last_kind, se2_params=meta,
+            score=self._last_score,
+        )
+
     def build_mci(self, window: np.ndarray) -> PoseImage:
         """Candidate synthesis + selection over one event window. Pure w.r.t.
         builder buffers — usable both by the window state machine and by the
@@ -360,10 +572,11 @@ class EventWindowBuilder:
             # with the constant-velocity extrapolation (T_cur, rel @ T_cur)
             # — matching the reference's DPose usage, which applies the last
             # relative pose forward (src/Event/EvImBuilder.cpp:958-1032)
-            T_prev, T_cur, depth = self.pose_prior
+            T_prev, T_cur, depth = (np.asarray(x) for x in self.pose_prior)
             rel = T_cur @ np.linalg.inv(T_prev)
             T0 = T_cur.astype(np.float32)
             T1 = (rel @ T_cur).astype(np.float32)
+            depth = float(depth)
             have_dpose = True
         else:
             T0 = T1 = np.eye(4, dtype=np.float32)

@@ -313,6 +313,10 @@ class EvImageSlam:
         self.im = slam_system.MonoSlam(
             cam_params, img_w=img_w, img_h=img_h, N=max_kp, **slam_kw
         )
+        # opt into the loop-correction handoff (consumed in process(); a
+        # standalone MonoSlam never stashes, so the pre-correction kf_T
+        # device buffer isn't pinned between loops)
+        self.im.loop_correction_consumer = True
         ev_min_init = max(20, slam_kw.get("min_init_matches", 40) // 2)
         self.ev = slam_system.MonoSlam(
             cam_params, img_w=img_w, img_h=img_h, N=ev_max_kp,
@@ -575,7 +579,8 @@ class EvImageSlam:
         self.ev.T_last = jnp.asarray(Te)
         self.ev.velocity = jnp.eye(4)
 
-    def _on_image_loop(self, T_before, info):
+    def _on_image_loop(self, T_before, info, valid_before=None,
+                       ts_before=None):
         """Event side of a loop correction: rigid follow of the weld +
         joint event+image global BA (the event-aware GBA of reference
         src/LoopClosing.cc:2535-2549 / EvOptimizer.cpp:3714-4032)."""
@@ -589,8 +594,14 @@ class EvImageSlam:
         ):
             return
         s, R_ie, t_ie = self._last_gauge
+        # anchor against the slots valid AT CORRECTION TIME — a map merge
+        # in the same keyframe insertion can validate slots whose T_before
+        # rows are garbage (advisor r4)
+        anchor_ts = self.im.map.kf_ts if ts_before is None else ts_before
+        anchor_valid = (self.im.map.kf_valid if valid_before is None
+                        else valid_before & self.im.map.kf_valid)
         self.ev.map = _propagate_loop_to_event(
-            self.ev.map, self.im.map.kf_ts, self.im.map.kf_valid,
+            self.ev.map, anchor_ts, anchor_valid,
             T_before, self.im.map.kf_T,
             jnp.asarray(R_ie, jnp.float32), jnp.asarray(t_ie, jnp.float32),
             jnp.asarray(s, jnp.float32),

@@ -137,14 +137,14 @@ class EventInertialSlam:
         self.imu.push(ts, gyro, acc)
 
     def track_events(self, events: np.ndarray) -> list[dict]:
+        # batched window path: one dispatch per L1 window, no per-chunk
+        # host loop (see builder.step_window)
         self.builder.feed(events)
         out = []
         while True:
-            pi = self.builder.step()
+            pi = self.builder.step_window()
             if pi is None:
                 break
-            if pi.reconst_stat != 1:
-                continue
             out.append(self._track_mci(pi))
         return out
 
@@ -164,7 +164,9 @@ class EventInertialSlam:
 
         if self.l2.state == slam_system.OK:
             self.n_tracked += 1
-            T_cur = np.asarray(self.l2.T_last)
+            # PoseDepthInfo feedback stays ON DEVICE (no host pull; the
+            # window jit consumes the arrays directly)
+            T_cur = self.l2.T_last
             if self._T_prev_mci is not None:
                 self.builder.set_pose_prior(
                     self._T_prev_mci, T_cur, self._median_scene_depth(T_cur)
@@ -172,13 +174,13 @@ class EventInertialSlam:
             self._T_prev_mci = T_cur
         return res
 
-    def _median_scene_depth(self, Tcw: np.ndarray) -> float:
+    def _median_scene_depth(self, Tcw):
         """KeyFrame::ComputeSceneMedianDepth equivalent over the event map
-        (device-side masked median; one scalar pull)."""
+        (device-side masked median; stays on device)."""
         from eorb_slam_tpu.slam import map_state as ms
         m = self.l2.map
-        return float(ms.median_scene_depth(
-            m.lm_pos, m.lm_valid, jnp.asarray(Tcw, jnp.float32)))
+        return ms.median_scene_depth(
+            m.lm_pos, m.lm_valid, jnp.asarray(Tcw, jnp.float32))
 
     def trajectory_twc(self):
         return self.l2.trajectory_twc()

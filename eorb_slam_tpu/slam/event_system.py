@@ -58,11 +58,27 @@ class EventSlam:
             min_init_triangulated=max(15, min_init_matches * 3 // 4),
             min_track_inliers=min_track_inliers,
             seed=seed,
+            # the per-MCI decision pull overlaps the next window's dispatch
+            # (one lagged sync instead of a blocking RTT per MCI)
+            pipelined=True,
+            # event-KF cadence: MCIs decorrelate far faster than camera
+            # frames (window-size adaptation changes integration time, and
+            # the winning candidate kind flips between hist/se2/dpose), so
+            # keyframes must land every few windows — the reference's
+            # needNewKeyFrame fires on median-track-displacement at MCI
+            # rate (src/Event/EvAsynchTracker.cpp:1278)
+            max_frames_between_kf=3,
+            kf_inlier_ratio=0.8,
         )
         # no SearchInNeighbors/Fuse over MCIs: the reference's event-side
         # mapper has no fuse pass (EvLocalMapping, SURVEY 2.8), and coarse
         # event features make duplicate-merging net-harmful
         self.l2.fuse_enabled = False
+        # save-chain-then-reinit (reference EvAsynchTracker lost handling,
+        # src/Event/EvAsynchTracker.cpp:1348): short event KF chains are
+        # stored, not thrown away — the trajectory keeps its piecewise
+        # segments and fuseEventTracks-style stitching stays possible
+        self.l2.min_kf_store = 4
         self._T_prev_mci: Optional[np.ndarray] = None
         self.n_mci = 0
         self.n_tracked = 0
@@ -72,15 +88,17 @@ class EventSlam:
     def track_events(self, events: np.ndarray) -> list[dict]:
         """System::TrackEvent: push a raw event chunk and run the L1/L2 state
         machines until the buffer is drained. Returns L2 results for every
-        completed MCI."""
+        completed MCI.
+
+        The L1 builder runs window-at-a-time (builder.step_window): one
+        dispatch per window, no blocking pulls — per-chunk tiny frames never
+        reach the host (their KLT continuity lives inside the window jit)."""
         self.builder.feed(events)
         out = []
         while True:
-            pi = self.builder.step()
+            pi = self.builder.step_window()
             if pi is None:
                 break
-            if pi.reconst_stat != 1:
-                continue  # tiny frame: KLT continuity handled inside L1
             out.append(self._track_mci(pi))
         return out
 
@@ -94,7 +112,11 @@ class EventSlam:
 
         if self.l2.state == slam_system.OK:
             self.n_tracked += 1
-            T_cur = np.asarray(self.l2.T_last)
+            # PoseDepthInfo feedback entirely ON DEVICE: T_last and the
+            # masked median depth stay device arrays (builder consumes them
+            # inside the window jit) — a host pull here costs a tunnel RTT
+            # per MCI
+            T_cur = self.l2.T_last
             if self._T_prev_mci is not None:
                 self.builder.set_pose_prior(
                     self._T_prev_mci, T_cur, self._median_scene_depth(T_cur)
@@ -102,13 +124,13 @@ class EventSlam:
             self._T_prev_mci = T_cur
         return res
 
-    def _median_scene_depth(self, Tcw: np.ndarray) -> float:
+    def _median_scene_depth(self, Tcw):
         """KeyFrame::ComputeSceneMedianDepth equivalent over the event map
-        (device-side masked median; one scalar pull)."""
+        (device-side masked median; stays on device)."""
         from eorb_slam_tpu.slam import map_state as ms
         m = self.l2.map
-        return float(ms.median_scene_depth(
-            m.lm_pos, m.lm_valid, jnp.asarray(Tcw, jnp.float32)))
+        return ms.median_scene_depth(
+            m.lm_pos, m.lm_valid, jnp.asarray(Tcw, jnp.float32))
 
     # --------------------------------------------------------------- output
 

@@ -40,7 +40,7 @@ class LoopInfo(NamedTuple):
 @jax.jit
 def _projection_verify(
     cam, kf_T_cand, kf_T_query,
-    lm_ids_c, feat_valid_c, lm_pos, lm_desc,
+    lm_ids_c, feat_valid_c, desc_c, lm_pos, lm_desc,
     xy_q, desc_q, feat_valid_q,
     R, t, s,
     img_w, img_h,
@@ -67,8 +67,15 @@ def _projection_verify(
         & (uv[:, 1] >= 0) & (uv[:, 1] < img_h)
     )
     pair = matching.window_mask(uv, xy_q, 10.0)
+    # landmark descriptor rows are all-zero until local_mapping's medoid
+    # refresh writes them; fall back to the candidate KF's own per-feature
+    # descriptor for unset rows so a freshly-built (or test) map still
+    # verifies true loops instead of silently rejecting everything
+    lm_d = lm_desc[jnp.clip(lm_ids_c, 0)]
+    lm_set = jnp.any(lm_d != 0, axis=-1)
+    lm_d = jnp.where(lm_set[:, None], lm_d, desc_c)
     j, _ = matching.match_nnratio(
-        lm_desc[jnp.clip(lm_ids_c, 0)], vis,
+        lm_d, vis,
         desc_q, feat_valid_q,
         pair_mask=pair, max_dist=matching.TH_HIGH, mutual=True,
     )
@@ -342,7 +349,7 @@ class LoopCloser:
         # ATE 0.03 -> 3.7 m)
         n_proj = int(_projection_verify(
             self.cam, m.kf_T[cand], m.kf_T[query],
-            m.kf_feat_lm[cand], m.kf_feat_valid[cand],
+            m.kf_feat_lm[cand], m.kf_feat_valid[cand], m.kf_desc_pm1[cand],
             m.lm_pos, m.lm_desc_pm1,
             m.kf_xy[query], m.kf_desc_pm1[query], m.kf_feat_valid[query],
             res.R, res.t, res.s,

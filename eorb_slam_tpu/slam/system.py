@@ -165,6 +165,12 @@ class MonoSlam:
         # CreateMapInAtlas, src/Tracking.cc:898-970,:1206-1224)
         self.lost_frames = 0
         self.lost_grace = 5
+        # maps smaller than this are RESET on irrecoverable loss instead of
+        # stored in the Atlas (reference resets tiny active maps,
+        # src/Tracking.cc:951-970). Event L2 trackers lower it: the
+        # reference's save-chain-then-reinit policy keeps even short event
+        # KF chains for later stitching (src/Event/EvAsynchTracker.cpp:1348)
+        self.min_kf_store = 10
         self._traj_frozen: list[tuple[float, np.ndarray]] = []
         self._last_kf_ts: Optional[float] = None  # host cache (no device pull)
         # in-the-loop place recognition (reference spawns a LoopClosing
@@ -179,8 +185,11 @@ class MonoSlam:
         # GBA can include event observations (reference dispatches
         # EvOptimizer variants from LoopClosing/GBA whenever isEvent(),
         # src/LoopClosing.cc:2535-2549) — consumed by the wrapper, None
-        # otherwise
+        # otherwise. Only stashed when a consumer opted in (the wrapper
+        # sets loop_correction_consumer=True); a standalone MonoSlam would
+        # otherwise pin the pre-correction kf_T buffer indefinitely
         self.last_loop_correction = None
+        self.loop_correction_consumer = False
         if loop_words is not None:
             from eorb_slam_tpu.slam import loop_closing as lc_mod
 
@@ -203,6 +212,8 @@ class MonoSlam:
         # keyframe, so per-frame tracking dispatches pipeline behind the
         # in-flight BA instead of blocking on its results
         self._pending_map_stats = None
+        # prefetched KF-redundancy ranking for the deferred culling pass
+        self._pending_redundancy = None
 
     # ------------------------------------------------------------- map/atlas
 
@@ -258,9 +269,19 @@ class MonoSlam:
             return None
         if not force and len(order) <= max(self.kf_protect_recent + 1, 3):
             return None
-        frac, total = map_state.keyframe_redundancy(self.map)
-        frac = np.asarray(frac)
-        total = np.asarray(total)
+        if self._pending_redundancy is not None:
+            # prefetched at the last keyframe insertion — the transfer has
+            # landed, the read is ~free. One-KF-stale redundancy is fine
+            # for choosing which keyframe to drop (it's a heuristic rank).
+            # NOT cleared on read: the periodic cull and a force cull in
+            # the same insertion share one ranking (cleared on map change)
+            packed = np.asarray(self._pending_redundancy)
+        else:
+            frac, total = map_state.keyframe_redundancy(self.map)
+            # one packed pull (two separate np.asarray = two tunnel RTTs)
+            packed = np.asarray(
+                jnp.concatenate([frac, total.astype(jnp.float32)]))
+        frac, total = packed[: self.map.K], packed[self.map.K:]
         # candidates: all but the origin KF and the most recent ones; under
         # force (map at capacity, K small vs kf_protect_recent) shrink the
         # protected window so a slot is ALWAYS freeable
@@ -283,6 +304,7 @@ class MonoSlam:
         self._resolve_trajectory_refs(best_slot)
         self._on_cull_keyframe(best_slot)
         self.map = map_state.remove_keyframe(self.map, jnp.asarray(best_slot))
+        self._pending_redundancy = None   # ranking is stale once a KF left
         order.remove(best_slot)
         self.kf_seq[best_slot] = -1
         self.kf_culled += 1
@@ -300,16 +322,19 @@ class MonoSlam:
         """Trajectory entries are stored relative to a reference KF slot;
         before that slot is culled/reused, bake them into absolute poses
         (ref == -2 marks an absolute Tcw entry)."""
-        if not any(ref == slot for _, _, ref in self.trajectory):
+        hit = [i for i, (_, T_rel, ref) in enumerate(self.trajectory)
+               if ref == slot and T_rel is not None]
+        if not hit:
             return
-        kf_T = np.asarray(self.map.kf_T[slot])
-        out = []
-        for ts, T_rel, ref in self.trajectory:
-            if ref == slot and T_rel is not None:
-                out.append((ts, np.asarray(T_rel) @ kf_T, -2))
-            else:
-                out.append((ts, T_rel, ref))
-        self.trajectory = out
+        # ONE batched device matmul, NO pull — the baked rows stay device
+        # references (a dispatch-then-pull here cost a full tunnel round
+        # trip per cull, profiled r5); trajectory_twc batch-pulls at save
+        baked = (jnp.stack([jnp.asarray(self.trajectory[i][1])
+                            for i in hit])
+                 @ self.map.kf_T[slot])
+        for j, i in enumerate(hit):
+            ts, _, _ = self.trajectory[i]
+            self.trajectory[i] = (ts, baked[j], -2)
 
     # ---------------------------------------------------------------- input
 
@@ -353,6 +378,13 @@ class MonoSlam:
         self.velocity = vel_new
         self.T_last = res.Tcw
         self.trajectory.append((f.ts, T_rel, ref))
+        # start the D2H of the decision flags NOW — by the time the next
+        # frame resolves this speculation the transfer has landed and the
+        # pull costs microseconds instead of a tunnel RTT
+        try:
+            flags.copy_to_host_async()
+        except AttributeError:
+            pass
         self._pipe = (f, res, flags, saved)
         out = {"state": self.state, "pipelined": True, "n_inliers": -1}
         if prev is not None:
@@ -385,11 +417,24 @@ class MonoSlam:
             out = {"state": self.state, "n_inliers": n_inl, "kf": False}
             if need_kf:
                 T_spec, vel_spec = self.T_last, self.velocity
+                welds0 = self.loops_closed + self.map_merges
                 self._insert_keyframe(f, res, n_inl=n_inl)
-                if successor:
+                corrected = (self.loops_closed + self.map_merges) != welds0
+                if successor and not corrected:
                     # the KF's refined pose must not clobber the newer
                     # in-flight frame's speculated pose
                     self.T_last, self.velocity = T_spec, vel_spec
+                elif successor and corrected:
+                    # a loop/merge moved the map under the in-flight
+                    # speculation: its predicted pose and trajectory entry
+                    # are pre-weld. Drop the speculation and reprocess its
+                    # frame synchronously against the corrected map
+                    succ = self._pipe
+                    self._pipe = None
+                    if succ is not None:
+                        if self.trajectory:
+                            self.trajectory.pop()
+                        self._track(succ[0])
                 out.update(kf=True, n_lm=self.stats["lm"])
             return out
         # misprediction: this frame did NOT track. Unwind every speculative
@@ -606,12 +651,16 @@ class MonoSlam:
 
         if self.lost_frames <= self.lost_grace:
             self.state = RECENTLY_LOST
+            # retry from the LAST pose, not an extrapolation of it: the
+            # motion model is the most likely culprit for the miss, and for
+            # overlapping event windows the previous pose is the best prior
+            self.velocity = jnp.eye(4)
             self._log_pose(f.ts, None)
             return {"state": self.state, "n_inliers": n_inl}
 
         # irrecoverable: multi-map recovery
         self._freeze_trajectory()
-        if self.n_kf < 10:
+        if self.n_kf < self.min_kf_store:
             self.atlas.reset_active()
         else:
             old_active = self.atlas.active
@@ -692,14 +741,25 @@ class MonoSlam:
                 return res.Tcw, int(res.n_inliers)
         return None, 0
 
+    def _pull_trajectory_rows(self) -> dict:
+        """Batch-pull every device-resident trajectory row in ONE transfer
+        (per-entry np.asarray costs a tunnel RTT each — at event-window
+        rates that made trajectory saves minutes, not milliseconds)."""
+        ent = self.trajectory
+        idx = [i for i, (_, T_rel, _) in enumerate(ent) if T_rel is not None]
+        if not idx:
+            return {}
+        arr = np.asarray(jnp.stack([jnp.asarray(ent[i][1]) for i in idx]))
+        return dict(zip(idx, arr))
+
     def _freeze_trajectory(self):
         """Resolve all relative trajectory entries against the CURRENT map's
         keyframes before switching maps (they reference its slots)."""
         kf_T = np.asarray(self.map.kf_T)
-        for ts, T_rel, ref in self.trajectory:
+        rows = self._pull_trajectory_rows()
+        for i, (ts, T_rel, ref) in enumerate(self.trajectory):
             if T_rel is not None:
-                Tcw = (np.asarray(T_rel) if ref == -2
-                       else np.asarray(T_rel) @ kf_T[ref])
+                Tcw = rows[i] if ref == -2 else rows[i] @ kf_T[ref]
                 self._traj_frozen.append((ts, np.linalg.inv(Tcw)))
         self.trajectory = []
 
@@ -788,6 +848,18 @@ class MonoSlam:
         # keyframe (async tracking/mapping overlap) — unless a loop closer
         # needs a consistent host view right now
         self._pending_map_stats = stats
+        # prefetch: the drain at the NEXT keyframe reads these as a landed
+        # transfer instead of paying a blocking tunnel RTT. Same for the
+        # culling pass's redundancy ranking — computed now, consumed at the
+        # next cull decision
+        frac, total = map_state.keyframe_redundancy(self.map)
+        self._pending_redundancy = jnp.concatenate(
+            [frac, total.astype(jnp.float32)])
+        try:
+            stats.copy_to_host_async()
+            self._pending_redundancy.copy_to_host_async()
+        except AttributeError:
+            pass
         if self.loop_closer is not None:
             self._drain_mapping()
 
@@ -806,7 +878,16 @@ class MonoSlam:
                     self.T_last = self.map.kf_T[q]
                     self.velocity = jnp.eye(4)
                     self.stats["loops"] = self.loops_closed
-                    self.last_loop_correction = (T_before, info)
+                    if self.loop_correction_consumer:
+                        # stash validity/timestamps WITH the poses: a map
+                        # merge in the same insertion can validate new
+                        # slots whose T_before rows are garbage — the
+                        # consumer must anchor only against slots that were
+                        # valid at correction time
+                        self.last_loop_correction = (
+                            T_before, info,
+                            self.map.kf_valid, self.map.kf_ts,
+                        )
             if self._stored_dbs and self.n_kf >= 4:
                 self._try_map_merge(q)
 
@@ -858,6 +939,7 @@ class MonoSlam:
             n_proj = int(lc_mod._projection_verify(
                 self.cam, sto.kf_T[cand], m.kf_T[q],
                 sto.kf_feat_lm[cand], sto.kf_feat_valid[cand],
+                sto.kf_desc_pm1[cand],
                 sto.lm_pos, sto.lm_desc_pm1,
                 m.kf_xy[q], m.kf_desc_pm1[q], m.kf_feat_valid[q],
                 res.R, res.t, res.s,
@@ -934,11 +1016,11 @@ class MonoSlam:
         self.flush_pipeline()
         self._drain_mapping()
         kf_T = np.asarray(self.map.kf_T)
+        rows = self._pull_trajectory_rows()
         out = list(self._traj_frozen)
-        for ts, T_rel, ref in self.trajectory:
+        for i, (ts, T_rel, ref) in enumerate(self.trajectory):
             if T_rel is not None:
-                Tcw = (np.asarray(T_rel) if ref == -2
-                       else np.asarray(T_rel) @ kf_T[ref])
+                Tcw = rows[i] if ref == -2 else rows[i] @ kf_T[ref]
                 out.append((ts, np.linalg.inv(Tcw)))
         out.sort(key=lambda e: e[0])
         return out

@@ -243,6 +243,16 @@ class MonoInertialSlam(MonoSlam):
         # System::ApplyScaleAndRotationEvSynch, src/LoopClosing.cc:2075-2094)
         self.pending_world_transforms: list = []
         self._last_refine_s = 1.0
+        # consecutive frames where the IMU prediction failed but a plain
+        # visual search succeeded — a weakly determined init leaves the
+        # inertial state inconsistent with the map; at 3 the scale/gravity
+        # refinement is pulled forward
+        self._imu_inconsistent = 0
+        # init convergence gate (chi2 per residual dof); healthy solves
+        # measure 0.03-0.10, divergent ones 30+ (r5)
+        self.imu_init_max_chi2 = 3.0
+        # per-attempt scale estimates (stability acceptance path)
+        self._init_scale_hist: list = []
         # stereo/RGB-D inertial variants fix the (already metric) scale
         # (reference InitializeIMU bFixedScale for non-monocular sensors)
         self._imu_fix_scale = False
@@ -388,7 +398,9 @@ class MonoInertialSlam(MonoSlam):
         src/Optimizer.cc:8606, dispatched at src/Tracking.cc:1959-1984).
         The inertial factor keeps the pose metric and scale-consistent even
         when visual inliers collapse."""
+        prev_ts = self.last_frame.ts if self.last_frame is not None else None
         self.last_frame = f
+        T_last0, vel0 = self.T_last, self.vel
         # PredictStateIMU — one fused dispatch
         T_pred, vel_mm, v2 = _imu_predict(
             self.T_last, self.vel, self.pre_last_frame,
@@ -410,6 +422,55 @@ class MonoInertialSlam(MonoSlam):
                 search_radius=40.0, nn_ratio=0.95,
             )
             n_vis = int(res.n_inliers)
+        if n_vis < self.min_track_inliers:
+            # the IMU prediction itself may be the problem — a weakly
+            # determined inertial init (short chain, low excitation) can
+            # leave scale/velocity inconsistent with the map, in which case
+            # EVERY IMU-predicted search misses while the map is still
+            # perfectly trackable visually. Retry from the last pose (the
+            # reference's TrackReferenceKeyFrame fallback), and on success
+            # repair the inertial state instead of going lost (measured:
+            # event-IMU died on the frame after init, r5 trace).
+            res_v = tracking.track_frame(
+                self.map, self.cam, f.xy_ud, f.octave, f.desc_pm1, f.valid,
+                T_last0, img_w=self.img_w, img_h=self.img_h,
+                search_radius=40.0, nn_ratio=0.95,
+            )
+            n_vv = int(res_v.n_inliers)
+            if n_vv >= self.min_track_inliers and bool(
+                    jnp.isfinite(res_v.Tcw).all()):
+                self._imu_inconsistent += 1
+                Tcw = res_v.Tcw
+                self.last_track = res_v
+                self.lost_frames = 0
+                self.state = OK
+                ref = self._kf_ref()
+                vel_mm2, T_rel = _post_track_update(
+                    Tcw, T_last0, self.map.kf_T[ref])
+                self.velocity = vel_mm2
+                self.T_last = Tcw
+                # world velocity from the visual pose delta (finite
+                # difference) — the IMU-propagated one just proved wrong
+                dtf = (max(f.ts - prev_ts, 1e-3)
+                       if prev_ts is not None else 1e-1)
+                Cw0 = -T_last0[:3, :3].T @ T_last0[:3, 3]
+                Cw1 = -Tcw[:3, :3].T @ Tcw[:3, 3]
+                self.vel = (Cw1 - Cw0) / dtf
+                self.frames_since_kf += 1
+                self.trajectory.append((f.ts, T_rel, ref))
+                if self._imu_inconsistent >= 3:
+                    # persistent disagreement: re-estimate scale/gravity/
+                    # biases over the full chain (staged refinement pulled
+                    # forward)
+                    self._scale_refinement()
+                    self._imu_inconsistent = 0
+                out = {"state": self.state, "n_inliers": n_vv,
+                       "kf": False, "visual_rescue": True}
+                if (n_vv < self.kf_inlier_ratio * max(self.n_inliers_ref, 1)
+                        or self.frames_since_kf >= self.max_frames_between_kf):
+                    self._insert_keyframe(f, res_v)
+                    out.update(kf=True, n_lm=self.stats["lm"])
+                return out
 
         # motion-only VI refinement against the last keyframe's state,
         # using the accumulated KF->frame preintegration window
@@ -438,6 +499,7 @@ class MonoInertialSlam(MonoSlam):
                            n_inliers=n_vi)
         self.last_track = res
         self.lost_frames = 0
+        self._imu_inconsistent = 0
         self.state = OK
         ref = self._kf_ref()
         vel_mm2, T_rel = _post_track_update(Tcw, self.T_last,
@@ -567,6 +629,29 @@ class MonoInertialSlam(MonoSlam):
         )
         if not np.isfinite(float(res.cost)) or float(res.scale) < 1e-3:
             return
+        # convergence gate: a weakly determined solve (short chain, low
+        # excitation) returns an arbitrary scale whose application — and
+        # the FullInertialBA that follows — destroys the visual map.
+        # Healthy inits land at chi2/dof 0.03-0.10 (measured, r5); the
+        # collapsing event-IMU init sat at ~35. Event-grade pose noise
+        # keeps chi2/dof high even at the TRUE solution, so a second
+        # acceptance path watches the per-attempt scale estimate: it is
+        # attenuated toward 0 on short noisy chains (regression dilution)
+        # and converges as edges accumulate (measured 0.15->0.18->2.4->3.8
+        # against truth 3.9, r5) — accept once consecutive attempts agree.
+        # Reject-and-retry staging mirrors the reference
+        # (src/LocalMapping.cc:198-241).
+        n_edges = int((np.asarray(edge_valid) & (np.asarray(prev) >= 0)).sum())
+        chi2_dof = float(res.cost) / max(9 * n_edges, 1)
+        s_est = float(res.scale)
+        stable = bool(
+            self._init_scale_hist
+            and abs(np.log(max(s_est, 1e-9)
+                           / max(self._init_scale_hist[-1], 1e-9))) < 0.15
+        )
+        self._init_scale_hist.append(s_est)
+        if chi2_dof > self.imu_init_max_chi2 and not stable:
+            return
 
         # gravity-align: rotate the world so g maps onto (0,0,-9.81)
         g_est = np.asarray(res.g)
@@ -598,7 +683,7 @@ class MonoInertialSlam(MonoSlam):
         self.kf_ba = jnp.tile(res.ba[None], (K, 1))
         last = self._kf_order[-1]
         self.vel = vel2[last]
-        self.T_last = kf_T2[last]
+        self.T_last = self._transform_inflight_pose(Ryw, s)
         self.velocity = jnp.eye(4)
         self.imu_initialized = True
         self._init_kf_count = self._kf_seq_next
@@ -608,6 +693,23 @@ class MonoInertialSlam(MonoSlam):
         )
 
         self._vi_local_ba(full=True)
+
+    def _transform_inflight_pose(self, Ryw, s) -> jnp.ndarray:
+        """Map the IN-FLIGHT frame pose through the gravity-align/rescale
+        world transform. Rewinding T_last to the last keyframe's pose here
+        (the previous behavior) left the next frame's prediction behind the
+        camera's true position — measured: event-IMU tracking lost on the
+        frame right after IMU init (r5 trace). The reference transforms the
+        current frame alongside the map (Map::ApplyScaledRotation +
+        Tracking::UpdateFrameIMU, src/LocalMapping.cc:198-241)."""
+        Tbc = self.calib.Tbc
+        Twb_f = pre_mod.Twb_from_Tcw(self.T_last, Tbc)
+        Rwb = Ryw @ Twb_f[:3, :3]
+        pwb = s * (Ryw @ Twb_f[:3, 3])
+        Twb2 = jnp.eye(4, dtype=Twb_f.dtype)
+        Twb2 = Twb2.at[:3, :3].set(lie.project_so3(Rwb))
+        Twb2 = Twb2.at[:3, 3].set(pwb)
+        return pre_mod.Tcw_from_Twb(Twb2, Tbc)
 
     def _scale_refinement(self):
         """Re-estimate (scale, gravity dir, biases, velocities) over all
@@ -628,6 +730,11 @@ class MonoInertialSlam(MonoSlam):
         # ScaleRefinement applies its estimate ungated whenever |s-1| is
         # significant, src/LocalMapping.cc:244-255)
         if not np.isfinite(s) or not (0.1 < s < 10.0):
+            return
+        # same convergence gate as the first init: an unconverged refit
+        # must not be applied (see imu_init_max_chi2)
+        n_edges = int((np.asarray(edge_valid) & (np.asarray(prev) >= 0)).sum())
+        if float(res.cost) / max(9 * n_edges, 1) > self.imu_init_max_chi2:
             return
         self._last_refine_s = s
         g_est = np.asarray(res.g)
@@ -654,7 +761,7 @@ class MonoInertialSlam(MonoSlam):
         self.kf_ba = jnp.tile(res.ba[None], (K, 1))
         last = self._kf_order[-1]
         self.vel = vel2[last]
-        self.T_last = kf_T2[last]
+        self.T_last = self._transform_inflight_pose(Ryw, s)
         self.scale_applied *= s
         self.pending_world_transforms.append(
             (np.asarray(Ryw, np.float32), float(s))

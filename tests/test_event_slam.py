@@ -101,6 +101,36 @@ def test_builder_produces_mci_and_adapts():
     assert b.chunk_size != make_cfg().l1_chunk_size or np.isfinite(b.last_med_disp)
 
 
+def test_builder_step_window_batched():
+    """The batched window path (one dispatch per L1 window, lagged
+    metadata) must produce well-formed MCIs, count its chunks, and run the
+    adaptive feedback once the prefetched metadata is consumed."""
+    world = EventWorld(seed=4)
+    ev = world.events(0.0, 1.2, 30000)
+    cfg = make_cfg()
+    b = ev_builder.EventWindowBuilder(cfg, CAM)
+    b.feed(ev)
+    mcis = []
+    while (pi := b.step_window()) is not None:
+        mcis.append(pi)
+    assert len(mcis) >= 2
+    assert b.stats["windows"] == len(mcis)
+    assert b.stats["chunks"] == len(mcis) * cfg.l1_num_loop
+    for pi in mcis:
+        assert pi.reconst_stat == 1
+        img = np.asarray(pi.img)
+        assert img.shape == (H, W)
+        assert 0.0 <= img.min() and img.max() <= 1.0
+        assert pi.ts > pi.ts0
+    # timestamps advance monotonically across windows
+    assert all(a.ts < b_.ts for a, b_ in zip(mcis, mcis[1:]))
+    # force-resolve the last window's metadata: the winning kind is one of
+    # the four candidates and the KLT-driven displacement feedback ran
+    b._resolve_window_meta(block=True)
+    assert b._last_kind in ("hist", "se2", "dpose", "klt2d")
+    assert np.isfinite(b.last_med_disp) or b.chunk_size != cfg.l1_chunk_size
+
+
 def test_contrast_max_sharpens_fast_window():
     """Over a window with real motion, the SE2 contrast-maximized candidate
     must beat the plain histogram's focus score (the reference's selection

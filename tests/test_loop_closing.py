@@ -230,6 +230,87 @@ def test_atlas_create_and_merge():
     assert int(np.asarray(m.lm_valid).sum()) == 128  # 64 + 64 welded
 
 
+def _proj_verify_fixture(rng, aliased: bool):
+    """Candidate KF with landmark-bearing features + a query KF. If
+    `aliased`, the query shows a DIFFERENT stretch of scene whose
+    descriptors happen to retrieve the candidate (repetitive texture):
+    geometry is inconsistent, so projections through the Sim3 must not
+    yield descriptor-consistent matches."""
+    N, M = 96, 128
+    m = ms.empty_map(K=8, M=256, N=N, P=8)
+    pts = np.concatenate(
+        [rng.uniform(-1.5, 1.5, (M, 2)), rng.uniform(4, 8, (M, 1))], 1
+    ).astype(np.float32)
+    descs = rand_desc(rng, M)
+    m = m._replace(
+        lm_pos=m.lm_pos.at[:M].set(jnp.asarray(pts)),
+        lm_valid=m.lm_valid.at[:M].set(True),
+    )
+    T_c = np.eye(4, dtype=np.float32)
+    vis = np.arange(N)
+    pc = pts[vis]
+    uv_c = np.asarray(camera.pinhole_project_linear(CAM, jnp.asarray(pc)))
+    m = ms.insert_keyframe(
+        m, jnp.asarray(0), jnp.asarray(T_c), 0.0,
+        jnp.asarray(uv_c), jnp.zeros(N, jnp.int32), jnp.zeros(N),
+        jnp.asarray(descs[vis]), jnp.ones(N, bool),
+        jnp.asarray(vis.astype(np.int32)),
+    )
+    # query: same viewpoint; true loop sees the same points + descriptors,
+    # aliased query sees a different (shifted) scene with similar-looking
+    # but geometrically unrelated features
+    if aliased:
+        q_pts = pts[vis] + rng.uniform(-1.0, 1.0, (N, 3)).astype(np.float32)
+        q_desc = descs[(vis + 37) % M]     # repeated-texture descriptors
+    else:
+        q_pts = pts[vis]
+        q_desc = descs[vis]
+    uv_q = np.asarray(camera.pinhole_project_linear(CAM, jnp.asarray(q_pts)))
+    m = ms.insert_keyframe(
+        m, jnp.asarray(1), jnp.asarray(T_c), 1.0,
+        jnp.asarray(uv_q), jnp.zeros(N, jnp.int32), jnp.zeros(N),
+        jnp.asarray(q_desc), jnp.ones(N, bool),
+        jnp.full(N, -1, jnp.int32),
+    )
+    return m
+
+
+def test_projection_verify_accepts_true_loop():
+    """A genuine loop (identical viewpoint + descriptors, identity Sim3)
+    must clear the reference's >=40 projected-match bar even when the
+    landmark descriptors are still unset (falls back to the candidate KF's
+    feature descriptors; reference ORBmatcher::SearchByProjection with Scw,
+    src/ORBmatcher.cc:480; bar src/LoopClosing.cc:933)."""
+    rng = np.random.default_rng(11)
+    m = _proj_verify_fixture(rng, aliased=False)
+    n = int(loop_closing._projection_verify(
+        CAM, m.kf_T[0], m.kf_T[1],
+        m.kf_feat_lm[0], m.kf_feat_valid[0], m.kf_desc_pm1[0],
+        m.lm_pos, m.lm_desc_pm1,
+        m.kf_xy[1], m.kf_desc_pm1[1], m.kf_feat_valid[1],
+        jnp.eye(3), jnp.zeros(3), jnp.asarray(1.0),
+        jnp.asarray(752.0), jnp.asarray(480.0),
+    ))
+    assert n >= 40, n
+
+
+def test_projection_verify_rejects_aliased_candidate():
+    """A perceptually-aliased candidate (similar descriptors retrieved by
+    BoW, inconsistent geometry — the corridor false-weld scenario measured
+    in round 4) must stay under the 40-match bar."""
+    rng = np.random.default_rng(12)
+    m = _proj_verify_fixture(rng, aliased=True)
+    n = int(loop_closing._projection_verify(
+        CAM, m.kf_T[0], m.kf_T[1],
+        m.kf_feat_lm[0], m.kf_feat_valid[0], m.kf_desc_pm1[0],
+        m.lm_pos, m.lm_desc_pm1,
+        m.kf_xy[1], m.kf_desc_pm1[1], m.kf_feat_valid[1],
+        jnp.eye(3), jnp.zeros(3), jnp.asarray(1.0),
+        jnp.asarray(752.0), jnp.asarray(480.0),
+    ))
+    assert n < 40, n
+
+
 def test_loop_closer_end_to_end_detects_and_corrects():
     """Closed circle of KFs; the final KF revisits the first's viewpoint but
     (as after real drift) observes its own duplicate landmarks, triangulated
