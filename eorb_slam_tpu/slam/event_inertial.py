@@ -267,4 +267,4 @@ class EvImageInertialSlam(ev_image_system.EvImageSlam):
         Tl[:3, 3] *= s
         self.ev.T_last = jnp.asarray(Tl)
         self.ev.velocity = jnp.eye(4)
-        self.ev._rescale_trajectory(s)
+        self.ev._rescale_trajectory(s, Ryw)

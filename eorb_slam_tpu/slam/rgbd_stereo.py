@@ -146,16 +146,51 @@ class StereoInertialSlam(_DepthInitMixin, MonoInertialSlam):
         super().__init__(cam_params, calib, **kw)
         self.baseline = float(baseline)
         self._imu_fix_scale = True
+        # right image of the in-flight frame (deferred stereo depth at KFs)
+        self._pending_right = None
 
     make_stereo_frame = StereoSlam.make_stereo_frame
 
     def process_stereo_imu(self, img_l, img_r, ts: float, imu: ImuChunk,
                            max_kp: int | None = None):
+        """Steady-state stereo-inertial frames run the SAME fused one-
+        dispatch step as mono-VI on the LEFT image only: per-frame tracking
+        never consumes stereo depth — depth enters the map exclusively at
+        keyframe creation (create_depth_landmarks), so the right image's
+        extraction + stereo matching is deferred to _insert_keyframe and
+        paid at KF rate, not frame rate (reference stereo frames likewise
+        only use mvDepth for KF point creation once the map exists;
+        r4 measured 1,417 ms/frame for the unfused both-eyes-every-frame
+        path vs ~200 ms mono-VI)."""
+        if self.imu_initialized and self.state == OK:
+            self._pending_right = (jnp.asarray(img_r, jnp.float32), max_kp)
+            try:
+                return self.process_image_imu(
+                    jnp.asarray(img_l, jnp.float32), ts, imu, max_kp=max_kp)
+            finally:
+                self._pending_right = None
         f = self.make_stereo_frame(
             jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
             ts, max_kp,
         )
         return self.process_features_imu(f, imu)
+
+    def _insert_keyframe(self, f: FrameInput, res, n_inl=None):
+        if f.depth is None and getattr(self, "_pending_right", None) is not None:
+            # deferred stereo depth: extract the right image + match NOW
+            # (keyframe rate), so the new KF still founds metric landmarks
+            import dataclasses
+
+            img_r, max_kp = self._pending_right
+            fr = frontend.extract(img_r, max_kp=max_kp or self.map.N)
+            xy_r = cam_mod.undistort_points(self.cam, fr.xy)
+            depth, _, _ = stereo_match.stereo_match(
+                f.xy_ud, f.octave, f.desc_pm1, f.valid,
+                xy_r, fr.octave, fr.desc_pm1, fr.valid,
+                self.cam[0], self.baseline,
+            )
+            f = dataclasses.replace(f, depth=depth)
+        super()._insert_keyframe(f, res, n_inl)
 
     def _try_initialize(self, f: FrameInput):
         out = _DepthInitMixin._try_initialize(self, f)

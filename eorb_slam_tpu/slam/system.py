@@ -998,14 +998,26 @@ class MonoSlam:
         T_rel = np.asarray(Tcw @ lie.se3_inv(self.map.kf_T[ref]))
         self.trajectory.append((ts, T_rel, ref))
 
-    def _rescale_trajectory(self, s: float):
-        """Apply a map rescale to the stored relative poses (their
-        translations are in map units)."""
+    def _rescale_trajectory(self, s: float, Ryw=None):
+        """Apply a map world transform (gravity rotation ``Ryw`` + scale
+        ``s``) to the stored trajectory entries.
+
+        RELATIVE entries (ref >= 0) recompose against the transformed
+        keyframe poses, so only their translation scales: with the world
+        transform W = Sim3(s) ∘ · ∘ Ryw^T acting on camera poses,
+        T_rel' = W(Tf) W(Tk)^-1 = Sim3(s) T_rel Sim3(s)^-1 — rotation
+        unchanged, translation x s. ABSOLUTE entries (ref == -2, baked at
+        keyframe culls) carry the full pose and need BOTH factors:
+        R' = R @ Ryw^T, t' = s t. Missing the rotation kinked every
+        trajectory with pre-init culls at the IMU init (measured: room_01
+        VI plateaued at 0.76 m uniform offset, r5)."""
         out = []
         for ts, T_rel, ref in self.trajectory:
             if T_rel is not None:
                 T_rel = np.asarray(T_rel).copy()
                 T_rel[:3, 3] *= s
+                if ref == -2 and Ryw is not None:
+                    T_rel[:3, :3] = T_rel[:3, :3] @ np.asarray(Ryw).T
             out.append((ts, T_rel, ref))
         self.trajectory = out
 

@@ -253,6 +253,7 @@ class MonoInertialSlam(MonoSlam):
         self.imu_init_max_chi2 = 3.0
         # per-attempt scale estimates (stability acceptance path)
         self._init_scale_hist: list = []
+        self._refine_scale_hist: list = []
         # stereo/RGB-D inertial variants fix the (already metric) scale
         # (reference InitializeIMU bFixedScale for non-monocular sensors)
         self._imu_fix_scale = False
@@ -548,10 +549,10 @@ class MonoInertialSlam(MonoSlam):
             return False
         return (f.ts - self._last_kf_ts) >= self.max_kf_dt
 
-    def _insert_keyframe(self, f: FrameInput, res):
+    def _insert_keyframe(self, f: FrameInput, res, n_inl=None):
         prev_slot = self._kf_order[-1] if self._kf_order else -1
         pre_window = self.pre_since_kf
-        super()._insert_keyframe(f, res)  # allocates slot, runs local BA
+        super()._insert_keyframe(f, res, n_inl)  # allocates slot, runs local BA
         # map updated -> next frame re-anchors on the keyframe state
         self._prior = None
         slot = self.last_kf_slot
@@ -633,24 +634,16 @@ class MonoInertialSlam(MonoSlam):
         # excitation) returns an arbitrary scale whose application — and
         # the FullInertialBA that follows — destroys the visual map.
         # Healthy inits land at chi2/dof 0.03-0.10 (measured, r5); the
-        # collapsing event-IMU init sat at ~35. Event-grade pose noise
-        # keeps chi2/dof high even at the TRUE solution, so a second
-        # acceptance path watches the per-attempt scale estimate: it is
-        # attenuated toward 0 on short noisy chains (regression dilution)
-        # and converges as edges accumulate (measured 0.15->0.18->2.4->3.8
-        # against truth 3.9, r5) — accept once consecutive attempts agree.
-        # Reject-and-retry staging mirrors the reference
-        # (src/LocalMapping.cc:198-241).
+        # collapsing event-IMU init sat at ~35. Reject and retry at the
+        # next keyframe with more baseline — the reference staggers init
+        # attempts the same way (src/LocalMapping.cc:198-241). A
+        # stability-of-estimate acceptance (consecutive attempts agreeing)
+        # was tried and rejected: estimator bias is systematic, so wrong
+        # estimates agree with each other (measured, r5).
         n_edges = int((np.asarray(edge_valid) & (np.asarray(prev) >= 0)).sum())
         chi2_dof = float(res.cost) / max(9 * n_edges, 1)
-        s_est = float(res.scale)
-        stable = bool(
-            self._init_scale_hist
-            and abs(np.log(max(s_est, 1e-9)
-                           / max(self._init_scale_hist[-1], 1e-9))) < 0.15
-        )
-        self._init_scale_hist.append(s_est)
-        if chi2_dof > self.imu_init_max_chi2 and not stable:
+        self._init_scale_hist.append(float(res.scale))
+        if chi2_dof > self.imu_init_max_chi2:
             return
 
         # gravity-align: rotate the world so g maps onto (0,0,-9.81)
@@ -675,7 +668,7 @@ class MonoInertialSlam(MonoSlam):
         )
         kf_T2 = jax.vmap(lambda T: pre_mod.Tcw_from_Twb(T, Tbc))(Twb2)
         self.map = self.map._replace(kf_T=kf_T2, lm_pos=lm2)
-        self._rescale_trajectory(float(s))
+        self._rescale_trajectory(float(s), Ryw)
         self.kf_vel = vel2
         self.bg = res.bg
         self.ba = res.ba
@@ -732,7 +725,11 @@ class MonoInertialSlam(MonoSlam):
         if not np.isfinite(s) or not (0.1 < s < 10.0):
             return
         # same convergence gate as the first init: an unconverged refit
-        # must not be applied (see imu_init_max_chi2)
+        # must not be applied (see imu_init_max_chi2). NOTE a
+        # stability-of-estimate path (accept when consecutive refits agree)
+        # was tried and MEASURABLY destructive: estimator bias is
+        # systematic, so consecutive wrong estimates agree (room_01 VI went
+        # 3.3% -> 46% of path when two agreeing garbage refits applied, r5)
         n_edges = int((np.asarray(edge_valid) & (np.asarray(prev) >= 0)).sum())
         if float(res.cost) / max(9 * n_edges, 1) > self.imu_init_max_chi2:
             return
@@ -753,7 +750,7 @@ class MonoInertialSlam(MonoSlam):
         )
         kf_T2 = jax.vmap(lambda T: pre_mod.Tcw_from_Twb(T, Tbc))(Twb2)
         self.map = self.map._replace(kf_T=kf_T2, lm_pos=lm2)
-        self._rescale_trajectory(s)
+        self._rescale_trajectory(s, Ryw)
         self.kf_vel = vel2
         self.bg = res.bg
         self.ba = res.ba

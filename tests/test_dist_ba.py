@@ -56,3 +56,49 @@ def test_dist_converges(problem):
     for k in range(2, 6):
         err = lie.se3_log(jnp.linalg.inv(res.kf_T[k]) @ jnp.asarray(Ts[k]))
         assert float(jnp.linalg.norm(err)) < 0.03
+
+
+def test_event_sharded_splat_matches_single():
+    """SURVEY §5.7 event-axis data parallelism: the event batch sharded
+    over 8 devices with a psum-reduced accumulator must reproduce the
+    single-device splat bit-near-exactly."""
+    from eorb_slam_tpu.event import tensorize
+    from eorb_slam_tpu.parallel import dist_splat
+
+    rng = np.random.default_rng(3)
+    N, H, W = 8192, 90, 120
+    mesh = mesh_utils.make_mesh()
+    xy = jnp.asarray(rng.uniform(-5, 125, (N, 2)).astype(np.float32))
+    valid = jnp.asarray(rng.random(N) < 0.9)
+    pol = jnp.asarray(rng.choice([-1.0, 1.0], N).astype(np.float32))
+    for use_pol in (False, True):
+        a = dist_splat.splat_gauss_sharded(
+            mesh, xy, valid, pol, H, W, sigma=1.0, use_polarity=use_pol)
+        b = tensorize.splat_gauss(
+            xy, valid, pol, H, W, sigma=1.0, use_polarity=use_pol)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_event_sharded_window_scores():
+    """Fused sharded histogram + gen-rate: rate must equal the host
+    formula, accumulator must match the unsharded splat."""
+    from eorb_slam_tpu.event import tensorize
+    from eorb_slam_tpu.parallel import dist_splat
+
+    rng = np.random.default_rng(4)
+    N, H, W = 4096, 64, 96
+    mesh = mesh_utils.make_mesh()
+    ev = np.zeros((N, 4), np.float32)
+    ev[:, 0] = np.sort(rng.uniform(0, 0.02, N))
+    ev[:, 1] = rng.uniform(0, W, N)
+    ev[:, 2] = rng.uniform(0, H, N)
+    ev[:, 3] = rng.choice([-1.0, 1.0], N)
+    valid = jnp.asarray(rng.random(N) < 0.8)
+    acc, rate = dist_splat._window_scores_sharded(
+        mesh, jnp.asarray(ev), valid, jnp.asarray(0.02, jnp.float32),
+        H=H, W=W, sigma=1.0)
+    ref = tensorize.splat_gauss(jnp.asarray(ev[:, 1:3]), valid,
+                                jnp.asarray(ev[:, 3]), H, W, sigma=1.0)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(ref), atol=1e-4)
+    n = float(np.asarray(valid).sum())
+    assert abs(float(rate) - n / 0.02 / (H * W)) / (n / 0.02 / (H * W)) < 1e-5

@@ -2,12 +2,13 @@
 # Phase B: measured end-to-end results for every sensor mode (the
 # reference's app-level protocol: run a mode binary per sequence, save TUM
 # trajectories, score offline — Examples/Event/fmt_ev_ethz.cpp + scripts/
-# ev_ethz_batch.sh). Round 4 target: all 9 SensorConfig modes with ATE
-# gates (VERDICT r3 item 7).
+# ev_ethz_batch.sh). All 10 configs MUST produce gated rows: the gates
+# live in tools/make_results.py (tracked fraction, per-mode APE bounds,
+# minimum row count) and this script exits nonzero when any gate fails.
 #
-# Usage: bash tools/phase_b.sh [results/r4]
+# Usage: bash tools/phase_b.sh [results/r5]
 set -u
-OUT=${1:-results/r4}
+OUT=${1:-results/r5}
 mkdir -p "$OUT"
 SUM="$OUT/summary.txt"
 : > "$SUM"
@@ -47,5 +48,11 @@ run synth_ev_imu.yaml            # EVENT_IMU
 run synth_ev_mono.yaml           # EVENT_MONO
 run synth_ev_imu_mono.yaml       # EVENT_IMU_MONO
 
-python tools/make_results.py "$SUM" > RESULTS.md || true
-echo "phase B done -> $SUM" >&2
+# gates: a failing row (missing mode, tracked fraction, APE bound) makes
+# the whole phase fail — telemetry that cannot fail is not a gate
+if python tools/make_results.py "$SUM" > RESULTS.md; then
+  echo "phase B done, ALL GATES PASS -> $SUM" >&2
+else
+  echo "phase B done, GATES FAILED (see RESULTS.md tail) -> $SUM" >&2
+  exit 1
+fi
