@@ -371,3 +371,25 @@ def detect_candidates(
     scores = jnp.where(gate, l1_score(bow_q, db.bow), -jnp.inf)
     top_scores, top_idx = jax.lax.top_k(scores, top_k)
     return top_scores, top_idx
+
+
+@jax.jit
+def all_scores(db: KeyFrameDatabase, bow_q: jnp.ndarray) -> jnp.ndarray:
+    """(Kmax,) L1 similarity of the query against every stored KF (invalid
+    slots -> -inf). Needed for the reference's minScore gate: loop
+    candidates must score at least as high as the query's WORST covisible
+    neighbor (src/KeyFrameDatabase.cc:612 computes minScore over the
+    covisibility group first)."""
+    s = l1_score(bow_q, db.bow)
+    return jnp.where(db.valid, s, -jnp.inf)
+
+
+@jax.jit
+def sparse_all_scores(db: SparseKeyFrameDatabase, q_ids: jnp.ndarray,
+                      q_w: jnp.ndarray) -> jnp.ndarray:
+    """Sparse-index variant of ``all_scores``."""
+    eq = (q_ids[None, :, None] == db.ids[:, None, :]) \
+        & (q_ids >= 0)[None, :, None]
+    mins = jnp.minimum(q_w[None, :, None], db.w[:, None, :])
+    s = jnp.where(eq, mins, 0.0).sum(axis=(1, 2))
+    return jnp.where(db.valid, s, -jnp.inf)

@@ -126,6 +126,18 @@ class LoopCloser:
         self._kf_count = 0
         self._last_loop_kfc = -(1 << 30)
         self.last_fuse_count = 0
+        # temporal-separation gate: candidates inserted within this many
+        # keyframes of the query are sequential NEIGHBORS, not revisits —
+        # they share real structure (so they clear Sim3 + projection
+        # verification with s~1) yet their noisy measured relative pose
+        # welds short-range edges into the essential graph and drags the
+        # whole trajectory (r5 measured: corridor "loops" q=16->c=3 with
+        # 80 consistent projections, ATE 0.34% -> 3.2%). The reference
+        # gets this implicitly: its candidates must beat the MINIMUM
+        # covisible-group score, which nearby stretches never do
+        # (src/KeyFrameDatabase.cc:612).
+        self.min_candidate_gap = 15
+        self._added_at = {}
 
     # -------------------------------------------------- vocabulary dispatch
 
@@ -151,6 +163,7 @@ class LoopCloser:
 
     def add_keyframe(self, m: ms.MapState, slot: int) -> None:
         self._kf_count += 1
+        self._added_at[slot] = self._kf_count
         if self.hier:
             wid, w = bow.quantize_hier(
                 m.kf_desc_pm1[slot], m.kf_feat_valid[slot], self.words)
@@ -164,6 +177,7 @@ class LoopCloser:
     def remove_keyframe(self, slot: int) -> None:
         """Drop a culled keyframe from the retrieval database (slot will be
         reused; stale BoW rows would resurface as false candidates)."""
+        self._added_at.pop(slot, None)
         if self.hier:
             self.db = bow.sparse_erase_keyframe(self.db, slot)
             return
@@ -173,12 +187,35 @@ class LoopCloser:
     def detect(self, m: ms.MapState, query: int):
         """Returns (candidate_slot, score) or (None, 0)."""
         q = self.frame_query(m.kf_desc_pm1[query], m.kf_feat_valid[query])
-        exclude = covisibility.covisibility_mask(m, jnp.asarray(query))
-        exclude = exclude.at[query].set(True)
+        cov_mask = covisibility.covisibility_mask(m, jnp.asarray(query))
+        exclude = cov_mask.at[query].set(True)
+        # exclude temporal neighbors (see min_candidate_gap)
+        q_at = self._added_at.get(query, self._kf_count)
+        near = [s for s, at in self._added_at.items()
+                if abs(q_at - at) < self.min_candidate_gap and s < m.K]
+        if near:
+            exclude = exclude.at[jnp.asarray(near)].set(True)
         scores, idx = self.query_db(q, exclude, top_k=3)
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         if not np.isfinite(scores[0]) or scores[0] <= 0:
+            return None, 0.0
+        # minScore gate (reference DetectNBestCandidates,
+        # src/KeyFrameDatabase.cc:612): a true revisit resembles the query
+        # at least as much as the query's WORST covisible neighbor does —
+        # forward-motion sequences (corridors) otherwise surface distant
+        # stretches that share real structure at a LOWER similarity and
+        # weld noisy short-baseline Sim3 edges into the essential graph
+        # (r5 measured: q=18 -> c=3 at score 0.27 vs covisible >= 0.4)
+        if self.hier:
+            s_all = np.asarray(bow.sparse_all_scores(self.db, q[0], q[1]))
+        else:
+            s_all = np.asarray(bow.all_scores(self.db, q))
+        cov = np.array(cov_mask)         # copy: jax->numpy views are RO
+        cov[query] = False               # the query itself has no db row
+        cov_scores = s_all[cov & np.isfinite(s_all)]
+        min_cov = float(cov_scores.min()) if len(cov_scores) else 0.0
+        if scores[0] < min_cov:
             return None, 0.0
         return int(idx[0]), float(scores[0])
 

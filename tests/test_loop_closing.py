@@ -381,6 +381,9 @@ def test_loop_closer_end_to_end_detects_and_corrects():
     words = bow.train_vocab(jnp.asarray(descs), 32, iters=3)
     lc = loop_closing.LoopCloser(CAM, words, Kmax=16, min_inliers=15,
                                  consistency_required=1)
+    # 10-KF fixture circle: the default 15-KF temporal-separation gate
+    # (tuned for app keyframe rates) would mask the whole map
+    lc.min_candidate_gap = 5
     for k in range(K - 1):
         lc.add_keyframe(m, k)
     m2, info = lc.detect_and_correct(m, K - 1, run_gba=False)
@@ -392,6 +395,7 @@ def test_loop_closer_end_to_end_detects_and_corrects():
     # src/LoopClosing.cc:267)
     lc3 = loop_closing.LoopCloser(CAM, words, Kmax=16, min_inliers=15,
                                   consistency_required=3)
+    lc3.min_candidate_gap = 5
     for k in range(K - 1):
         lc3.add_keyframe(m, k)
     _, i1 = lc3.detect_and_correct(m, K - 1, run_gba=False)
