@@ -394,6 +394,27 @@ class LoopCloser:
         ))
         if n_proj < self.proj_verify_min:
             return m, LoopInfo(False, query, cand, n_inl, 1.0)
+        # correction-necessity gate: when the measured Sim3 AGREES with the
+        # current relative estimate, the "loop" carries no correction — it
+        # is either a genuinely drift-free revisit or (corridor forward
+        # motion) a pair that never stopped being co-observed. Welding it
+        # anyway replaces the smooth odometry chain with ONE noisy
+        # wide-baseline measurement and measurably degrades the map
+        # (r5: corridor ATE 0.34% -> 3.2% from exactly such welds; the
+        # reference is insulated because its covisibility graph still
+        # links such pairs and retrieval never surfaces them). A true
+        # post-drift loop shows a large discrepancy and still fires.
+        T_qc = np.asarray(m.kf_T[cand] @ lie.se3_inv(m.kf_T[query]))
+        dR = np.asarray(res.R) @ T_qc[:3, :3].T
+        ang = float(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        dt = float(np.linalg.norm(np.asarray(res.t) - T_qc[:3, 3]))
+        t_mag = max(float(np.linalg.norm(T_qc[:3, 3])), 1e-6)
+        ds = abs(float(np.log(max(float(res.s), 1e-6))))
+        consistent = (ang < np.deg2rad(3.0)
+                      and dt < max(0.05, 0.10 * t_mag)
+                      and ds < 0.05)
+        if consistent:
+            return m, LoopInfo(False, query, cand, n_inl, float(res.s))
         self._chains = []
         m = self.correct(m, query, cand, res, run_gba=run_gba, order=order)
         self._last_loop_kfc = self._kf_count

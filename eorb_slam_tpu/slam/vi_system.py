@@ -252,7 +252,7 @@ class MonoInertialSlam(MonoSlam):
         # measure 0.03-0.10, divergent ones 20-800 (r5); event/MCI chains
         # carry visual pose noise above the IMU-noise whitening and sit
         # at 2-4 when healthy
-        self.imu_init_max_chi2 = 5.0
+        self.imu_init_max_chi2 = 3.0
         # per-attempt scale estimates (stability acceptance path)
         self._init_scale_hist: list = []
         self._refine_scale_hist: list = []
