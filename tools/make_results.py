@@ -69,6 +69,13 @@ def main(path: str):
             except Exception:
                 failures.append(f"unparseable row: {line[:80]}")
 
+    # last row wins per (mode, sequence): re-running a single config after
+    # a fix appends fresh rows; stale ones must not double-count or gate
+    dedup = {}
+    for d in rows:
+        dedup[(detect_mode(d), d.get("sequence"))] = d
+    rows = list(dedup.values())
+
     print("# RESULTS — synthetic benchmark sequences (round 5)\n")
     print(
         "Full application path on the real TPU: dataset files on disk in\n"
