@@ -151,14 +151,22 @@ class EventInertialSlam:
     def _track_mci(self, pi: ev_builder.PoseImage) -> dict:
         self.n_mci += 1
         img = jnp.asarray(pi.img * 255.0, jnp.float32)
-        feats = frontend.extract(img, max_kp=self.max_kp)
-        xy_ud = cam_mod.undistort_points(self.l2.cam, feats.xy)
-        f = slam_system.FrameInput(
-            pi.ts, xy_ud, feats.octave, feats.angle, feats.desc_pm1,
-            feats.valid,
-        )
         chunk = self.imu.window(pi.ts)
-        res = self.l2.process_features_imu(f, chunk)
+        if self.l2.imu_initialized and self.l2.state == slam_system.OK:
+            # fused ONE-dispatch VI frame step on the MCI (extraction +
+            # predict + track + motion-only VI opt inside one jit — the
+            # separate extract/track/opt chain cost ~1.5 s/MCI on the
+            # tunneled TPU, ~50 min per 10 s sequence, r5 measured)
+            res = self.l2.process_image_imu(img, pi.ts, chunk,
+                                            max_kp=self.max_kp)
+        else:
+            feats = frontend.extract(img, max_kp=self.max_kp)
+            xy_ud = cam_mod.undistort_points(self.l2.cam, feats.xy)
+            f = slam_system.FrameInput(
+                pi.ts, xy_ud, feats.octave, feats.angle, feats.desc_pm1,
+                feats.valid,
+            )
+            res = self.l2.process_features_imu(f, chunk)
         res = dict(res, ts=pi.ts, mci_kind=pi.best_kind,
                    imu_init=self.l2.imu_initialized)
 
