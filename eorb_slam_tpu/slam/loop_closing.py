@@ -215,7 +215,17 @@ class LoopCloser:
         cov[query] = False               # the query itself has no db row
         cov_scores = s_all[cov & np.isfinite(s_all)]
         min_cov = float(cov_scores.min()) if len(cov_scores) else 0.0
-        if scores[0] < min_cov:
+        # 0.75 factor: a true revisit approaches but rarely exceeds the
+        # weakest covisible's similarity once viewpoint/scale drift is real
+        # (r5 room_01 measured: true-lap candidates scored 0.18-0.26 against
+        # min_cov 0.24-0.31 — a hard floor rejected every genuine loop).
+        # False corridor welds that this floor previously (accidentally)
+        # let through are now killed by the drift-plausibility gate below.
+        if scores[0] < 0.75 * min_cov:
+            from ..utils.logging import get_logger
+            get_logger("eorb.loop").warning(
+                "cand REJECT-minscore q=%d c=%d score=%.3f min_cov=%.3f",
+                query, int(idx[0]), float(scores[0]), min_cov)
             return None, 0.0
         return int(idx[0]), float(scores[0])
 
@@ -374,11 +384,16 @@ class LoopCloser:
         if cand is None:
             self._chains = []
             return m, LoopInfo(False, query, -1, 0, 1.0)
+        from ..utils.logging import get_logger
         if not self._consistent(m, cand):
+            get_logger("eorb.loop").warning(
+                "cand REJECT-chain q=%d c=%d", query, cand)
             return m, LoopInfo(False, query, cand, 0, 1.0)
         res, _ = self.verify(m, query, cand)
         n_inl = int(res.n_inliers)
         if n_inl < self.min_inliers:
+            get_logger("eorb.loop").warning(
+                "cand REJECT-sim3 q=%d c=%d inl=%d", query, cand, n_inl)
             return m, LoopInfo(False, query, cand, n_inl, 1.0)
         # second gate: projection verification through the measured Sim3
         # (the Sim3 RANSAC alone passes perceptually aliased candidates on
@@ -393,6 +408,9 @@ class LoopCloser:
             jnp.asarray(float(self.img_w)), jnp.asarray(float(self.img_h)),
         ))
         if n_proj < self.proj_verify_min:
+            get_logger("eorb.loop").warning(
+                "cand REJECT-proj q=%d c=%d inl=%d proj=%d",
+                query, cand, n_inl, n_proj)
             return m, LoopInfo(False, query, cand, n_inl, 1.0)
         # correction-necessity gate: when the measured Sim3 AGREES with the
         # current relative estimate, the "loop" carries no correction — it
@@ -413,7 +431,39 @@ class LoopCloser:
         consistent = (ang < np.deg2rad(3.0)
                       and dt < max(0.05, 0.10 * t_mag)
                       and ds < 0.05)
+        # drift-plausibility gate: the correction a genuine loop carries is
+        # bounded by accumulated odometry drift — a few percent of the path
+        # traveled BETWEEN the two keyframes. A perceptually-aliased match
+        # (corridor dot patterns paired to different, shifted structure)
+        # yields a Sim3 displaced by the physical separation of the aliased
+        # sections — a large fraction of that path. Measured on the synth
+        # corridor: q=18/c=3 weld with dt=0.53 over a 0.62 path after 7.5 s
+        # (85% "drift"); the true room revisit carries ~8% after a full lap.
+        ts_q = float(m.kf_ts[query]); ts_c = float(m.kf_ts[cand])
+        kf_valid = np.asarray(m.kf_valid)
+        kf_ts = np.asarray(m.kf_ts)
+        kf_T = np.asarray(m.kf_T)
+        lo, hi = min(ts_c, ts_q), max(ts_c, ts_q)
+        between = np.flatnonzero(kf_valid & (kf_ts >= lo) & (kf_ts <= hi))
+        between = between[np.argsort(kf_ts[between])]
+        path = 0.0
+        if len(between) >= 2:
+            R = kf_T[between, :3, :3]
+            t = kf_T[between, :3, 3]
+            C = -np.einsum("kji,kj->ki", R, t)   # camera centers -R^T t
+            path = float(np.linalg.norm(np.diff(C, axis=0), axis=1).sum())
+        implausible = dt > max(0.05, 0.25 * path)
+        from ..utils.logging import get_logger
+        get_logger("eorb.loop").warning(
+            "loop %s q=%d(ts %.2f) c=%d(ts %.2f) inl=%d ang=%.2fdeg "
+            "dt=%.3f tmag=%.3f path=%.3f ds=%.3f s=%.3f",
+            ("SKIP-consistent" if consistent else
+             "REJECT-implausible" if implausible else "WELD"),
+            query, ts_q, cand, ts_c, n_inl, np.rad2deg(ang), dt, t_mag,
+            path, ds, float(res.s))
         if consistent:
+            return m, LoopInfo(False, query, cand, n_inl, float(res.s))
+        if implausible:
             return m, LoopInfo(False, query, cand, n_inl, float(res.s))
         self._chains = []
         m = self.correct(m, query, cand, res, run_gba=run_gba, order=order)
